@@ -1,0 +1,25 @@
+from cotnet_tpu.models.factory import create_model
+from cotnet_tpu.models.helpers import (
+    build_model_with_cfg,
+    get_model_default_cfg,
+    resolve_data_config,
+)
+from cotnet_tpu.models.registry import (
+    is_model,
+    is_model_in_modules,
+    list_models,
+    list_modules,
+    model_entrypoint,
+    register_model,
+)
+
+# importing the model modules populates the registry
+from cotnet_tpu.models import cotnet  # noqa: F401
+from cotnet_tpu.models import cotnet_hybrid  # noqa: F401
+from cotnet_tpu.models import resnet  # noqa: F401
+
+from cotnet_tpu.models.cotnet import CotBottleneck, CotLayer, CoXtLayer
+from cotnet_tpu.models.cotnet_hybrid import CotHybridBottleneck
+from cotnet_tpu.models.resnet import BasicBlock, Bottleneck, ResNet
+
+__all__ = [k for k in dir() if not k.startswith("_")]

@@ -1,0 +1,288 @@
+"""CoTNet / CoTNeXt — the paper's model family (reference models/cotnet.py).
+
+CotLayer (reference :36-104): static context via grouped KxK conv; a
+per-position K^2 attention map from [x; k] through a 2-layer bottleneck with
+GroupNorm; dynamic context via the local-aggregation kernel; then a radix-2
+split-attention fusion of static and dynamic contexts.
+
+All tensors NHWC.  The attention-weight channels are produced *k-major*
+(channel = k*Cw + cw) rather than the reference's cw-major — see
+ops/local_agg.py; SubChannelGroupNorm keeps the normalization semantics
+identical and the checkpoint converter permutes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from cotnet_tpu.models.helpers import build_model_with_cfg, default_cfg
+from cotnet_tpu.models.registry import register_model
+from cotnet_tpu.models.resnet import Downsample, ResNet, drop_block_cfgs
+from cotnet_tpu.nn import (
+    BatchNorm,
+    Conv2d,
+    DropBlock2d,
+    DropPath,
+    SubChannelGroupNorm,
+    avg_pool2d,
+    create_attn,
+    get_act_fn,
+)
+from cotnet_tpu.ops import local_aggregate
+
+default_cfgs = {
+    "cotnet50": default_cfg(),
+    "cotnet101": default_cfg(),
+    "cotnext50_2x48d": default_cfg(),
+    "cotnext101_2x48d": default_cfg(),
+}
+
+SHARE_PLANES = 8
+
+
+class CotLayer(fnn.Module):
+    """Contextual Transformer block (reference models/cotnet.py:36-104).
+
+    Also the hybrid family's CoTLayer (cotnet_hybrid.py:48-116 — identical
+    math)."""
+
+    dim: int
+    kernel_size: int = 3
+    impl: str = "auto"
+    dtype: Any = None
+    axis_name: Optional[str] = None
+
+    @fnn.compact
+    def __call__(self, x, training: bool = False):
+        dim, ks = self.dim, self.kernel_size
+        k2 = ks * ks
+        cw = dim // SHARE_PLANES
+        factor = 2
+        radix = 2
+        relu = get_act_fn("relu")
+        swish = get_act_fn("swish")
+
+        def bn(name):
+            return BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
+                             name=name)
+
+        # (1) static context: grouped KxK conv (groups=4) + BN + ReLU
+        k = Conv2d(dim, ks, 1, ks // 2, groups=4, dtype=self.dtype,
+                   name="key_embed_conv")(x)
+        k = relu(bn("key_embed_bn")(k, training=training))
+
+        # (2) attention embed from [x; k]
+        qk = jnp.concatenate([x, k], axis=-1)
+        w = Conv2d(dim // factor, 1, dtype=self.dtype, name="embed_conv1")(qk)
+        w = relu(bn("embed_bn1")(w, training=training))
+        w = Conv2d(k2 * cw, 1, use_bias=True, dtype=self.dtype,
+                   name="embed_conv2")(w)
+        w = SubChannelGroupNorm(k2=k2, cw=cw, dtype=self.dtype,
+                                name="embed_gn")(w)
+
+        # (3) value
+        v = Conv2d(dim, 1, dtype=self.dtype, name="conv1x1_conv")(x)
+        v = bn("conv1x1_bn")(v, training=training)
+
+        # (4) dynamic context: fused local aggregation
+        n, h, wd, _ = w.shape
+        wr = w.reshape(n, h, wd, 1, k2, cw)
+        y = local_aggregate(v, wr, kernel_size=ks, padding=(ks - 1) // 2,
+                            impl=self.impl)
+        y = swish(bn("bn")(y, training=training))
+
+        # (5) radix-2 fusion of dynamic (y) and static (k) contexts
+        attn_chs = max(dim * radix // 4, 32)
+        gap = jnp.mean(y + k, axis=(1, 2))  # [N, dim]
+        a = fnn.Dense(attn_chs, dtype=self.dtype, name="se_fc1")(gap)
+        a = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
+                      name="se_bn")(a, training=training)
+        a = relu(a)
+        a = fnn.Dense(radix * dim, dtype=self.dtype, name="se_fc2")(a)
+        a = jax.nn.softmax(a.reshape(n, dim, radix), axis=-1)
+        out = (y * a[:, None, None, :, 0] + k * a[:, None, None, :, 1])
+        return out
+
+
+class CoXtLayer(fnn.Module):
+    """Grouped (cardinality) CoT for CoTNeXt (reference cotnet.py:106-178):
+    key_embed groups=8; the embed/value convs and the aggregation itself run
+    in dw_group=2 channel groups."""
+
+    dim: int
+    kernel_size: int = 3
+    impl: str = "auto"
+    dtype: Any = None
+    axis_name: Optional[str] = None
+
+    @fnn.compact
+    def __call__(self, x, training: bool = False):
+        dim, ks = self.dim, self.kernel_size
+        k2 = ks * ks
+        dw_group = 2
+        cw_total = dim // SHARE_PLANES     # total weight channels
+        cw = cw_total // dw_group          # per group
+        factor = 2
+        radix = 2
+        relu = get_act_fn("relu")
+        swish = get_act_fn("swish")
+        n, h, wd, _ = x.shape
+
+        def bn(name):
+            return BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
+                             name=name)
+
+        k = Conv2d(dim, ks, 1, ks // 2, groups=8, dtype=self.dtype,
+                   name="key_embed_conv")(x)
+        k = relu(bn("key_embed_bn")(k, training=training))
+
+        # interleaved [x_c, k_c] pairs (reference cotnet.py:153-154)
+        qk = jnp.stack([x, k], axis=-1).reshape(n, h, wd, 2 * dim)
+        w = Conv2d(dim // factor, 1, groups=dw_group, dtype=self.dtype,
+                   name="embed_conv1")(qk)
+        w = relu(bn("embed_bn1")(w, training=training))
+        w = Conv2d(k2 * cw_total, 1, use_bias=True, groups=dw_group,
+                   dtype=self.dtype, name="embed_conv2")(w)
+        w = SubChannelGroupNorm(k2=k2, cw=cw_total, dtype=self.dtype,
+                                name="embed_gn")(w)
+
+        v = Conv2d(dim, 1, groups=dw_group, dtype=self.dtype,
+                   name="conv1x1_conv")(x)
+        v = bn("conv1x1_bn")(v, training=training)
+
+        # per-dw-group aggregation (reference reshapes batch*dw_group,
+        # cotnet.py:157-162; channel-half split is equivalent and avoids the
+        # batch transpose)
+        outs = []
+        gsz = dim // dw_group
+        wsz = k2 * cw
+        for gi in range(dw_group):
+            wg = w[..., gi * wsz:(gi + 1) * wsz].reshape(n, h, wd, 1, k2, cw)
+            vg = v[..., gi * gsz:(gi + 1) * gsz]
+            outs.append(local_aggregate(vg, wg, kernel_size=ks,
+                                        padding=(ks - 1) // 2, impl=self.impl))
+        y = jnp.concatenate(outs, axis=-1)
+        y = swish(bn("bn")(y, training=training))
+
+        attn_chs = max(dim * radix // 4, 32)
+        gap = jnp.mean(y + k, axis=(1, 2))
+        a = fnn.Dense(attn_chs, dtype=self.dtype, name="se_fc1")(gap)
+        a = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
+                      name="se_bn")(a, training=training)
+        a = relu(a)
+        a = fnn.Dense(radix * dim, dtype=self.dtype, name="se_fc2")(a)
+        a = jax.nn.softmax(a.reshape(n, dim, radix), axis=-1)
+        return y * a[:, None, None, :, 0] + k * a[:, None, None, :, 1]
+
+
+class CotBottleneck(fnn.Module):
+    """ResNet bottleneck with the 3x3 conv replaced by CoT(Xt)Layer
+    (reference cotnet.py:181-264); stride is an avg-pool *before* the CoT
+    layer (:199-202, :237-238)."""
+
+    expansion = 4
+
+    planes: int
+    stride: int = 1
+    downsample: Optional[dict] = None
+    cardinality: int = 1
+    base_width: int = 64
+    reduce_first: int = 1
+    dilation: int = 1
+    first_dilation: Optional[int] = None
+    act: str = "relu"
+    attn_layer: Optional[str] = None
+    aa: bool = False
+    drop_block: Optional[Tuple[float, int, float]] = None
+    drop_path_rate: float = 0.0
+    zero_init_last_bn: bool = True
+    impl: str = "auto"
+    dtype: Any = None
+    axis_name: Optional[str] = None
+
+    @fnn.compact
+    def __call__(self, x, training: bool = False):
+        import math
+        width = int(math.floor(self.planes * (self.base_width / 64))
+                    ) * self.cardinality
+        first_planes = width // self.reduce_first
+        outplanes = self.planes * self.expansion
+        act = get_act_fn(self.act)
+        residual = x
+
+        y = Conv2d(first_planes, 1, dtype=self.dtype, name="conv1")(x)
+        y = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
+                      name="bn1")(y, training=training)
+        y = self._maybe_drop_block(y, training)
+        y = act(y)
+
+        if self.stride > 1:
+            y = avg_pool2d(y, 3, 2, padding=1)
+
+        layer_cls = CotLayer if self.cardinality == 1 else CoXtLayer
+        y = layer_cls(dim=width, kernel_size=3, impl=self.impl,
+                      dtype=self.dtype, axis_name=self.axis_name,
+                      name="conv2")(y, training=training)
+
+        y = Conv2d(outplanes, 1, dtype=self.dtype, name="conv3")(y)
+        bn3_scale = (fnn.initializers.zeros if self.zero_init_last_bn
+                     else fnn.initializers.ones)
+        y = fnn.BatchNorm(use_running_average=not training, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype,
+                          scale_init=bn3_scale,
+                          axis_name=self.axis_name if training else None,
+                          name="bn3")(y)
+        y = self._maybe_drop_block(y, training)
+
+        attn = create_attn(self.attn_layer, outplanes, dtype=self.dtype)
+        if attn is not None:
+            y = attn(y, training=training)
+        if self.drop_path_rate > 0:
+            y = DropPath(self.drop_path_rate, name="drop_path")(y, training)
+        if self.downsample is not None:
+            residual = Downsample(out_channels=outplanes, dtype=self.dtype,
+                                  axis_name=self.axis_name, name="downsample",
+                                  **self.downsample)(residual, training)
+        return act(y + residual)
+
+    def _maybe_drop_block(self, y, training):
+        if self.drop_block is not None:
+            rate, bs, gamma = self.drop_block
+            return DropBlock2d(rate, bs, gamma)(y, training=training)
+        return y
+
+
+def _create_cotnet(model_name: str, pretrained: bool = False, **kwargs):
+    return build_model_with_cfg(
+        ResNet, model_name, default_cfgs.get(model_name, default_cfg()),
+        pretrained=pretrained, **kwargs)
+
+
+@register_model
+def cotnet50(pretrained=False, **kwargs):
+    return _create_cotnet("cotnet50", pretrained, block=CotBottleneck,
+                          layers=(3, 4, 6, 3), **kwargs)
+
+
+@register_model
+def cotnext50_2x48d(pretrained=False, **kwargs):
+    return _create_cotnet("cotnext50_2x48d", pretrained, block=CotBottleneck,
+                          layers=(3, 4, 6, 3), cardinality=2, base_width=48,
+                          **kwargs)
+
+
+@register_model
+def cotnet101(pretrained=False, **kwargs):
+    return _create_cotnet("cotnet101", pretrained, block=CotBottleneck,
+                          layers=(3, 4, 23, 3), **kwargs)
+
+
+@register_model
+def cotnext101_2x48d(pretrained=False, **kwargs):
+    return _create_cotnet("cotnext101_2x48d", pretrained, block=CotBottleneck,
+                          layers=(3, 4, 23, 3), cardinality=2, base_width=48,
+                          **kwargs)

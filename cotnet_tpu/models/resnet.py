@@ -1,0 +1,471 @@
+"""ResNet chassis + classic block zoo (reference models/resnet.py:448-613).
+
+The chassis is shared by resnet/resnext/seresnet AND (via ``block`` injection)
+the CoT family — exactly the reference's architecture-injection pattern, but
+as flax Modules on NHWC.  A single class covers both the classic chassis
+(stem maxpool, stage-0 stride 1; resnet.py:519-613) and the hybrid ResNet-D
+chassis (no stem pool, every stage stride 2; cotnet_hybrid.py:338-445) via
+``replace_stem_pool``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from cotnet_tpu.models.helpers import build_model_with_cfg, default_cfg
+from cotnet_tpu.models.registry import register_model
+from cotnet_tpu.nn import (
+    BatchNorm,
+    BlurPool2d,
+    ClassifierHead,
+    Conv2d,
+    DropBlock2d,
+    DropPath,
+    avg_pool2d,
+    create_attn,
+    get_act_fn,
+    get_padding,
+    max_pool2d,
+)
+
+default_cfgs = {
+    "resnet18": default_cfg(interpolation="bilinear"),
+    "resnet26": default_cfg(interpolation="bicubic"),
+    "resnet34": default_cfg(interpolation="bilinear"),
+    "resnet50": default_cfg(interpolation="bicubic"),
+    "resnet101": default_cfg(interpolation="bicubic"),
+    "resnet152": default_cfg(interpolation="bicubic"),
+    "resnet26d": default_cfg(interpolation="bicubic", first_conv="conv1.0"),
+    "resnet50d": default_cfg(interpolation="bicubic", first_conv="conv1.0"),
+    "resnext50_32x4d": default_cfg(interpolation="bicubic"),
+    "resnext101_32x8d": default_cfg(interpolation="bicubic"),
+    "seresnet50": default_cfg(interpolation="bicubic"),
+    "seresnext50_32x4d": default_cfg(interpolation="bicubic"),
+    "ecaresnet50d": default_cfg(interpolation="bicubic", first_conv="conv1.0"),
+}
+
+
+class Downsample(fnn.Module):
+    """Identity-path projection: 1x1 (or KxK) conv, optionally preceded by an
+    avg-pool (ResNet-D trick; reference resnet.py:365-395)."""
+
+    out_channels: int
+    stride: int = 1
+    kernel_size: int = 1
+    dilation: int = 1
+    first_dilation: int = 1
+    avg: bool = False
+    dtype: Any = None
+    axis_name: Optional[str] = None
+
+    @fnn.compact
+    def __call__(self, x, training: bool = False):
+        if self.avg:
+            avg_stride = self.stride if self.dilation == 1 else 1
+            if not (self.stride == 1 and self.dilation == 1):
+                x = avg_pool2d(x, 2, avg_stride, ceil_mode=True,
+                               count_include_pad=False)
+            x = Conv2d(self.out_channels, 1, 1, 0, dtype=self.dtype,
+                       name="conv")(x)
+        else:
+            ks = 1 if self.stride == 1 and self.dilation == 1 else self.kernel_size
+            fd = (self.first_dilation or self.dilation) if ks > 1 else 1
+            p = get_padding(ks, self.stride, fd)
+            x = Conv2d(self.out_channels, ks, self.stride, p, fd,
+                       dtype=self.dtype, name="conv")(x)
+        return BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
+                         name="bn")(x, training=training)
+
+
+class BasicBlock(fnn.Module):
+    """Two 3x3 convs (reference resnet.py:219-283)."""
+
+    expansion = 1
+
+    planes: int
+    stride: int = 1
+    downsample: Optional[dict] = None
+    cardinality: int = 1
+    base_width: int = 64
+    reduce_first: int = 1
+    dilation: int = 1
+    first_dilation: Optional[int] = None
+    act: str = "relu"
+    attn_layer: Optional[str] = None
+    aa: bool = False
+    drop_block: Optional[Tuple[float, int, float]] = None
+    drop_path_rate: float = 0.0
+    zero_init_last_bn: bool = True
+    dtype: Any = None
+    axis_name: Optional[str] = None
+
+    @fnn.compact
+    def __call__(self, x, training: bool = False):
+        assert self.cardinality == 1 and self.base_width == 64
+        first_planes = self.planes // self.reduce_first
+        outplanes = self.planes * self.expansion
+        fd = self.first_dilation or self.dilation
+        act = get_act_fn(self.act)
+        use_aa = self.aa and self.stride == 2
+        residual = x
+
+        y = Conv2d(first_planes, 3, 1 if use_aa else self.stride,
+                   fd, fd, dtype=self.dtype, name="conv1")(x)
+        y = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
+                      name="bn1")(y, training=training)
+        y = self._maybe_drop_block(y, training)
+        y = act(y)
+        if use_aa:
+            y = BlurPool2d(stride=self.stride, name="aa")(y)
+
+        y = Conv2d(outplanes, 3, 1, self.dilation, self.dilation,
+                   dtype=self.dtype, name="conv2")(y)
+        bn2_scale = (fnn.initializers.zeros if self.zero_init_last_bn
+                     else fnn.initializers.ones)
+        y = fnn.BatchNorm(use_running_average=not training, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype,
+                          scale_init=bn2_scale,
+                          axis_name=self.axis_name if training else None,
+                          name="bn2")(y)
+        y = self._maybe_drop_block(y, training)
+
+        attn = create_attn(self.attn_layer, outplanes, dtype=self.dtype)
+        if attn is not None:
+            y = attn(y, training=training)
+        if self.drop_path_rate > 0:
+            y = DropPath(self.drop_path_rate, name="drop_path")(y, training)
+        if self.downsample is not None:
+            residual = Downsample(out_channels=outplanes, dtype=self.dtype,
+                                  axis_name=self.axis_name,
+                                  name="downsample",
+                                  **self.downsample)(residual, training)
+        return act(y + residual)
+
+    def _maybe_drop_block(self, y, training):
+        if self.drop_block is not None:
+            rate, bs, gamma = self.drop_block
+            return DropBlock2d(rate, bs, gamma)(y, training=training)
+        return y
+
+
+class Bottleneck(fnn.Module):
+    """1x1 -> 3x3 -> 1x1 (reference resnet.py:286-362)."""
+
+    expansion = 4
+
+    planes: int
+    stride: int = 1
+    downsample: Optional[dict] = None
+    cardinality: int = 1
+    base_width: int = 64
+    reduce_first: int = 1
+    dilation: int = 1
+    first_dilation: Optional[int] = None
+    act: str = "relu"
+    attn_layer: Optional[str] = None
+    aa: bool = False
+    drop_block: Optional[Tuple[float, int, float]] = None
+    drop_path_rate: float = 0.0
+    zero_init_last_bn: bool = True
+    dtype: Any = None
+    axis_name: Optional[str] = None
+
+    @fnn.compact
+    def __call__(self, x, training: bool = False):
+        width = int((self.planes * (self.base_width / 64))) * self.cardinality
+        first_planes = width // self.reduce_first
+        outplanes = self.planes * self.expansion
+        fd = self.first_dilation or self.dilation
+        act = get_act_fn(self.act)
+        use_aa = self.aa and self.stride == 2
+        residual = x
+
+        y = Conv2d(first_planes, 1, dtype=self.dtype, name="conv1")(x)
+        y = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
+                      name="bn1")(y, training=training)
+        y = self._maybe_drop_block(y, training)
+        y = act(y)
+
+        y = Conv2d(width, 3, 1 if use_aa else self.stride, fd, fd,
+                   groups=self.cardinality, dtype=self.dtype, name="conv2")(y)
+        y = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
+                      name="bn2")(y, training=training)
+        y = self._maybe_drop_block(y, training)
+        y = act(y)
+        if use_aa:
+            y = BlurPool2d(stride=self.stride, name="aa")(y)
+
+        y = Conv2d(outplanes, 1, dtype=self.dtype, name="conv3")(y)
+        bn3_scale = (fnn.initializers.zeros if self.zero_init_last_bn
+                     else fnn.initializers.ones)
+        y = fnn.BatchNorm(use_running_average=not training, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype,
+                          scale_init=bn3_scale,
+                          axis_name=self.axis_name if training else None,
+                          name="bn3")(y)
+        y = self._maybe_drop_block(y, training)
+
+        attn = create_attn(self.attn_layer, outplanes, dtype=self.dtype)
+        if attn is not None:
+            y = attn(y, training=training)
+        if self.drop_path_rate > 0:
+            y = DropPath(self.drop_path_rate, name="drop_path")(y, training)
+        if self.downsample is not None:
+            residual = Downsample(out_channels=outplanes, dtype=self.dtype,
+                                  axis_name=self.axis_name,
+                                  name="downsample",
+                                  **self.downsample)(residual, training)
+        return act(y + residual)
+
+    def _maybe_drop_block(self, y, training):
+        if self.drop_block is not None:
+            rate, bs, gamma = self.drop_block
+            return DropBlock2d(rate, bs, gamma)(y, training=training)
+        return y
+
+
+def drop_block_cfgs(drop_block_rate: float):
+    """Per-stage DropBlock configs (reference resnet.py:397-402)."""
+    if not drop_block_rate:
+        return [None, None, None, None]
+    return [None, None, (drop_block_rate, 5, 0.25), (drop_block_rate, 3, 1.00)]
+
+
+class ResNet(fnn.Module):
+    """The chassis.  ``block`` is the block Module class; per-family block
+    kwargs arrive via ``block_args`` (reference block_args injection,
+    resnet.py:556-561)."""
+
+    block: Any
+    layers: Sequence[int]
+    num_classes: int = 1000
+    in_chans: int = 3
+    cardinality: int = 1
+    base_width: int = 64
+    stem_width: int = 64
+    stem_type: str = ""
+    replace_stem_pool: bool = False  # hybrid chassis: no maxpool, stages stride 2
+    output_stride: int = 32
+    block_reduce_first: int = 1
+    down_kernel_size: int = 1
+    avg_down: bool = False
+    act: str = "relu"
+    stem_act: Optional[str] = None  # hybrid uses relu stem even w/ swish blocks
+    aa_layer: Optional[str] = None  # 'blur' or None
+    drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    drop_block_rate: float = 0.0
+    global_pool: str = "avg"
+    zero_init_last_bn: bool = True
+    block_args: Optional[dict] = None
+    features_only: bool = False
+    out_indices: Sequence[int] = (1, 2, 3, 4)
+    dtype: Any = None
+    axis_name: Optional[str] = None
+
+    @fnn.compact
+    def __call__(self, x, training: bool = False):
+        assert self.output_stride in (8, 16, 32)
+        block_args = dict(self.block_args or {})
+        stem_act = get_act_fn(self.stem_act or self.act)
+
+        # --- stem ---
+        deep_stem = "deep" in self.stem_type
+        inplanes = self.stem_width * 2 if deep_stem else 64
+        if deep_stem:
+            c1 = c2 = self.stem_width
+            if "tiered" in self.stem_type:
+                c1 = 3 * (self.stem_width // 4)
+                c2 = (self.stem_width if "narrow" in self.stem_type
+                      else 6 * (self.stem_width // 4))
+            x = Conv2d(c1, 3, 2, 1, dtype=self.dtype, name="conv1_0")(x)
+            x = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
+                          name="bn1_0")(x, training=training)
+            x = stem_act(x)
+            x = Conv2d(c2, 3, 1, 1, dtype=self.dtype, name="conv1_1")(x)
+            x = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
+                          name="bn1_1")(x, training=training)
+            x = stem_act(x)
+            x = Conv2d(inplanes, 3, 1, 1, dtype=self.dtype, name="conv1_2")(x)
+        else:
+            x = Conv2d(inplanes, 7, 2, 3, dtype=self.dtype, name="conv1")(x)
+        x = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
+                      name="bn1")(x, training=training)
+        x = stem_act(x)
+        features = [x]
+
+        if self.replace_stem_pool:
+            net_stride = 2  # stages will each stride 2 (cotnet_hybrid.py:250-256)
+        else:
+            if self.aa_layer is not None:
+                x = max_pool2d(x, 3, 1, 1)
+                x = BlurPool2d(stride=2, name="stem_aa")(x)
+            else:
+                x = max_pool2d(x, 3, 2, 1)
+            net_stride = 4
+
+        # --- stages ---
+        channels = (64, 128, 256, 512)
+        expansion = self.block.expansion
+        net_num_blocks = sum(self.layers)
+        net_block_idx = 0
+        dilation = prev_dilation = 1
+        dbs = drop_block_cfgs(self.drop_block_rate)
+        for stage_idx, (planes, num_blocks, db) in enumerate(
+                zip(channels, self.layers, dbs)):
+            if self.replace_stem_pool:
+                stride = 2
+            else:
+                stride = 1 if stage_idx == 0 else 2
+            if net_stride >= self.output_stride:
+                dilation *= stride
+                stride = 1
+            else:
+                net_stride *= stride
+
+            for block_idx in range(num_blocks):
+                b_stride = stride if block_idx == 0 else 1
+                downsample = None
+                if block_idx == 0 and (
+                        b_stride != 1 or x.shape[-1] != planes * expansion):
+                    downsample = dict(
+                        stride=b_stride, kernel_size=self.down_kernel_size,
+                        dilation=dilation, first_dilation=prev_dilation,
+                        avg=self.avg_down)
+                dpr = self.drop_path_rate * net_block_idx / max(
+                    net_num_blocks - 1, 1)
+                x = self.block(
+                    planes=planes,
+                    stride=b_stride,
+                    downsample=downsample,
+                    cardinality=self.cardinality,
+                    base_width=self.base_width,
+                    reduce_first=self.block_reduce_first,
+                    dilation=dilation,
+                    first_dilation=prev_dilation,
+                    act=self.act,
+                    aa=self.aa_layer is not None,
+                    drop_block=db,
+                    drop_path_rate=dpr,
+                    zero_init_last_bn=self.zero_init_last_bn,
+                    dtype=self.dtype,
+                    axis_name=self.axis_name,
+                    name=f"layer{stage_idx + 1}_{block_idx}",
+                    **({"block_idx": block_idx}
+                       if "block_idx" in self.block.__dataclass_fields__ else {}),
+                    **block_args,
+                )(x, training=training)
+                prev_dilation = dilation
+                net_block_idx += 1
+            features.append(x)
+
+        if self.features_only:
+            return [features[i] for i in self.out_indices]
+
+        return ClassifierHead(
+            num_classes=self.num_classes, pool_type=self.global_pool,
+            drop_rate=self.drop_rate, dtype=self.dtype, name="head",
+        )(x, training=training)
+
+
+def _create_resnet(variant_cfg: str, model_name: str, pretrained: bool = False,
+                   **kwargs):
+    return build_model_with_cfg(
+        ResNet, model_name, default_cfgs.get(model_name, default_cfg()),
+        pretrained=pretrained, **kwargs)
+
+
+def _strip(kwargs):
+    """Drop factory kwargs the chassis doesn't take."""
+    kwargs.pop("in_chans_unused", None)
+    return kwargs
+
+
+@register_model
+def resnet18(pretrained=False, **kwargs):
+    return _create_resnet("resnet18", "resnet18", pretrained,
+                          block=BasicBlock, layers=(2, 2, 2, 2), **_strip(kwargs))
+
+
+@register_model
+def resnet34(pretrained=False, **kwargs):
+    return _create_resnet("resnet34", "resnet34", pretrained,
+                          block=BasicBlock, layers=(3, 4, 6, 3), **_strip(kwargs))
+
+
+@register_model
+def resnet26(pretrained=False, **kwargs):
+    return _create_resnet("resnet26", "resnet26", pretrained,
+                          block=Bottleneck, layers=(2, 2, 2, 2), **_strip(kwargs))
+
+
+@register_model
+def resnet26d(pretrained=False, **kwargs):
+    return _create_resnet("resnet26d", "resnet26d", pretrained,
+                          block=Bottleneck, layers=(2, 2, 2, 2), stem_width=32,
+                          stem_type="deep", avg_down=True, **_strip(kwargs))
+
+
+@register_model
+def resnet50(pretrained=False, **kwargs):
+    return _create_resnet("resnet50", "resnet50", pretrained,
+                          block=Bottleneck, layers=(3, 4, 6, 3), **_strip(kwargs))
+
+
+@register_model
+def resnet50d(pretrained=False, **kwargs):
+    return _create_resnet("resnet50d", "resnet50d", pretrained,
+                          block=Bottleneck, layers=(3, 4, 6, 3), stem_width=32,
+                          stem_type="deep", avg_down=True, **_strip(kwargs))
+
+
+@register_model
+def resnet101(pretrained=False, **kwargs):
+    return _create_resnet("resnet101", "resnet101", pretrained,
+                          block=Bottleneck, layers=(3, 4, 23, 3), **_strip(kwargs))
+
+
+@register_model
+def resnet152(pretrained=False, **kwargs):
+    return _create_resnet("resnet152", "resnet152", pretrained,
+                          block=Bottleneck, layers=(3, 8, 36, 3), **_strip(kwargs))
+
+
+@register_model
+def resnext50_32x4d(pretrained=False, **kwargs):
+    return _create_resnet("resnext50_32x4d", "resnext50_32x4d", pretrained,
+                          block=Bottleneck, layers=(3, 4, 6, 3), cardinality=32,
+                          base_width=4, **_strip(kwargs))
+
+
+@register_model
+def resnext101_32x8d(pretrained=False, **kwargs):
+    return _create_resnet("resnext101_32x8d", "resnext101_32x8d", pretrained,
+                          block=Bottleneck, layers=(3, 4, 23, 3), cardinality=32,
+                          base_width=8, **_strip(kwargs))
+
+
+@register_model
+def seresnet50(pretrained=False, **kwargs):
+    return _create_resnet("seresnet50", "seresnet50", pretrained,
+                          block=Bottleneck, layers=(3, 4, 6, 3),
+                          block_args=dict(attn_layer="se"), **_strip(kwargs))
+
+
+@register_model
+def seresnext50_32x4d(pretrained=False, **kwargs):
+    return _create_resnet("seresnext50_32x4d", "seresnext50_32x4d", pretrained,
+                          block=Bottleneck, layers=(3, 4, 6, 3), cardinality=32,
+                          base_width=4, block_args=dict(attn_layer="se"),
+                          **_strip(kwargs))
+
+
+@register_model
+def ecaresnet50d(pretrained=False, **kwargs):
+    return _create_resnet("ecaresnet50d", "ecaresnet50d", pretrained,
+                          block=Bottleneck, layers=(3, 4, 6, 3), stem_width=32,
+                          stem_type="deep", avg_down=True,
+                          block_args=dict(attn_layer="eca"), **_strip(kwargs))

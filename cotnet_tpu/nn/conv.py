@@ -1,0 +1,165 @@
+"""Convolution building blocks (NHWC, torch-compatible geometry).
+
+Covers the reference layer-zoo conv helpers: ConvBnAct
+(models/layers/conv_bn_act.py), symmetric int padding (padding.py),
+TF-'SAME' asymmetric padding (conv2d_same.py), and weight-standardized conv
+(std_conv.py).  Weights are HWIO; the PyTorch converter transposes OIHW.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from cotnet_tpu.nn.activations import get_act_fn
+from cotnet_tpu.nn.norm import BatchNorm
+
+Dtype = Any
+
+
+def to_2tuple(v):
+    return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
+
+
+def get_padding(kernel_size: int, stride: int = 1, dilation: int = 1) -> int:
+    """Symmetric 'same-ish' int padding (reference layers/padding.py:9-11)."""
+    return ((stride - 1) + dilation * (kernel_size - 1)) // 2
+
+
+def pad_same(x, kernel_size, stride, dilation=(1, 1), value=0.0):
+    """TF-SAME asymmetric padding on NHWC (reference conv2d_same.py:14-25)."""
+    ih, iw = x.shape[1], x.shape[2]
+    pads = []
+    for i, (k, s, d) in enumerate(zip(kernel_size, stride, dilation)):
+        size = (ih, iw)[i]
+        pad = max((-(size // -s) - 1) * s + (k - 1) * d + 1 - size, 0)
+        pads.append((pad // 2, pad - pad // 2))
+    return jnp.pad(x, [(0, 0), pads[0], pads[1], (0, 0)],
+                   constant_values=value)
+
+
+kaiming_normal_out = fnn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+# torch kaiming_normal_(mode='fan_out', nonlinearity='relu') is an
+# untruncated normal; use the plain normal variant for closer init parity.
+kaiming_normal_out = fnn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class Conv2d(fnn.Module):
+    """NHWC conv with torch-style int padding or TF-SAME string padding."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 1
+    stride: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, str, Tuple[int, int], None] = None
+    dilation: Union[int, Tuple[int, int]] = 1
+    groups: int = 1
+    use_bias: bool = False
+    dtype: Optional[Dtype] = None
+    kernel_init: Callable = kaiming_normal_out
+
+    @fnn.compact
+    def __call__(self, x):
+        ks = to_2tuple(self.kernel_size)
+        st = to_2tuple(self.stride)
+        di = to_2tuple(self.dilation)
+        pad = self.padding
+        if pad is None:
+            pad = tuple(get_padding(k, s, d) for k, s, d in zip(ks, st, di))
+        if isinstance(pad, str):
+            if pad.lower() == "same":
+                x = pad_same(x, ks, st, di)
+                pad = ((0, 0), (0, 0))
+            elif pad.lower() == "valid":
+                pad = ((0, 0), (0, 0))
+            else:
+                raise ValueError(pad)
+        else:
+            ph, pw = to_2tuple(pad) if not isinstance(pad, tuple) or len(pad) != 2 \
+                or isinstance(pad[0], int) else pad
+            if isinstance(ph, int):
+                pad = ((ph, ph), (pw, pw))
+        return fnn.Conv(
+            features=self.features,
+            kernel_size=ks,
+            strides=st,
+            padding=pad,
+            kernel_dilation=di,
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            kernel_init=self.kernel_init,
+        )(x)
+
+
+class ConvBnAct(fnn.Module):
+    """conv + BN + act (reference models/layers/conv_bn_act.py)."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 1
+    stride: int = 1
+    padding: Union[int, str, None] = None
+    dilation: int = 1
+    groups: int = 1
+    act: Optional[str] = "relu"
+    use_bn: bool = True
+    dtype: Optional[Dtype] = None
+    axis_name: Optional[str] = None
+
+    @fnn.compact
+    def __call__(self, x, training: bool = False):
+        x = Conv2d(self.features, self.kernel_size, self.stride, self.padding,
+                   self.dilation, self.groups, dtype=self.dtype, name="conv")(x)
+        if self.use_bn:
+            x = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
+                          name="bn")(x, training=training)
+        if self.act:
+            x = get_act_fn(self.act)(x)
+        return x
+
+
+class StdConv2d(fnn.Module):
+    """Weight-standardized conv (reference std_conv.py — used by NFNet-style
+    models and available through the layer zoo)."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: int = 1
+    padding: Union[int, str, None] = None
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = False
+    eps: float = 1e-6
+    dtype: Optional[Dtype] = None
+
+    @fnn.compact
+    def __call__(self, x):
+        ks = to_2tuple(self.kernel_size)
+        st = to_2tuple(self.stride)
+        di = to_2tuple(self.dilation)
+        pad = self.padding
+        if pad is None:
+            pad = tuple(get_padding(k, s, d) for k, s, d in zip(ks, st, di))
+        ph, pw = to_2tuple(pad)
+        in_feats = x.shape[-1] // self.groups
+        kernel = self.param(
+            "kernel", kaiming_normal_out,
+            (*ks, in_feats, self.features), jnp.float32)
+        mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
+        var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True)
+        kernel = (kernel - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps))
+        bias = (self.param("bias", fnn.initializers.zeros, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        dtype = self.dtype or x.dtype
+        import jax.lax as lax
+        y = lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype),
+            window_strides=st,
+            padding=((ph, ph), (pw, pw)),
+            rhs_dilation=di,
+            feature_group_count=self.groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias is not None:
+            y = y + bias.astype(dtype)
+        return y

@@ -1,0 +1,72 @@
+"""Normalization layers.
+
+BatchNorm: flax BatchNorm with torch-compatible defaults (eps 1e-5, running
+momentum 0.1 -> flax momentum 0.9) plus an optional ``axis_name`` so batch
+stats are computed cross-replica inside the sharded train step.  This single
+knob replaces the reference's SyncBN conversion (train.py:96-108) AND the
+per-epoch BN-stat broadcast/reduce (utils/distributed.py:58-67): on TPU the
+psum over the data axis happens every step, in-graph, for free on ICI.
+
+SubChannelGroupNorm: the CoT attention-embed GroupNorm
+(models/cotnet.py:56) with num_groups = dim/share_planes over
+K^2*dim/share_planes channels.  The reference's channel order is cw-major
+(channel = cw*K^2 + k), so group cw = all taps of weight-channel cw.  Our
+weight layout is k-major (channel = k*Cw + cw, see ops/local_agg.py), so the
+equivalent grouping is over the *minor* axis of the [K^2, Cw] view — this
+module normalizes per (n, cw) over (H, W, K^2), which is mathematically
+identical to the reference GroupNorm on its own layout.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as fnn
+
+
+class BatchNorm(fnn.Module):
+    """Torch-flavored BatchNorm2d over NHWC; cross-replica when axis_name set."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+    axis_name: Optional[str] = None
+
+    @fnn.compact
+    def __call__(self, x, training: bool = False):
+        return fnn.BatchNorm(
+            use_running_average=not training,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=self.dtype,
+            axis_name=self.axis_name if training else None,
+        )(x)
+
+
+class SubChannelGroupNorm(fnn.Module):
+    """GroupNorm over the k-major [..., K^2 * Cw] attention-weight channels.
+
+    Normalizes each of the ``Cw`` weight channels over (H, W, K^2) per sample,
+    with per-(k, cw) affine params — semantics identical to the reference's
+    nn.GroupNorm(num_groups=Cw, num_channels=K^2*Cw) on the cw-major layout.
+    """
+
+    k2: int
+    cw: int
+    epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @fnn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        assert c == self.k2 * self.cw, (c, self.k2, self.cw)
+        scale = self.param("scale", fnn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", fnn.initializers.zeros, (c,), jnp.float32)
+
+        xf = x.astype(jnp.float32).reshape(n, h, w, self.k2, self.cw)
+        mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
+        y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        y = y.reshape(n, h, w, c) * scale + bias
+        return y.astype(self.dtype or x.dtype)

@@ -1,0 +1,265 @@
+"""Local aggregation (contextual attention) — the CoTNet hot op, TPU-native.
+
+Semantics (matching the reference CUDA kernels,
+/root/reference/cupy_layers/aggregation_zeropad.py:20-46): given an input
+feature map ``x`` and a *per-position* weight tensor ``w`` whose channels are
+shared across groups of ``share_planes`` input channels, compute
+
+    out[n, ho, wo, head*C + g*Cw + cw] =
+        sum_{kh,kw} w[n, ho, wo, head, kh*Kw+kw, cw]
+                    * x[n, ho*s - pad + kh*dil, wo*s - pad + kw*dil, g*Cw + cw]
+
+i.e. a K x K neighborhood attention where the attention map is data-dependent
+per spatial position, with ``Cw = C // share_planes`` weight channels
+broadcast over ``G = C // Cw`` channel groups.
+
+Layout notes (TPU-first, deliberately NOT the reference layout):
+- activations are NHWC (channel-last, lane-aligned);
+- the weight is ``[N, Ho, Wo, heads, K*K, Cw]`` — *k-major* so each kernel tap
+  is a contiguous lane slice.  The reference uses ``[N, heads, Cw, K*K, H, W]``
+  (cw-major); the PyTorch checkpoint converter permutes the producing conv's
+  output channels accordingly.
+
+Two implementations:
+- ``_agg_core_xla``: pad + K*K shifted slices + broadcast-multiply-reduce.
+  Pure XLA, differentiable, fuses well; this is also the numerical oracle
+  (mirrors the unfold/einsum test at aggregation_zeropad.py:249-251).
+- Pallas TPU kernels in ``local_agg_pallas`` (fwd + custom VJP), selected by
+  ``impl='pallas'`` or automatically on TPU for the stride-1 case.
+
+Padding (zero or reflect) is applied *outside* the core op with ``jnp.pad``;
+the core computes a VALID aggregation on the padded input.  The pad VJP
+(slice for zeros, slice+fold for reflect — the reference hand-writes the fold
+in aggregation_refpad.py:196-200) then composes automatically under autodiff.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _pair(v):
+    if isinstance(v, (tuple, list)):
+        assert len(v) == 2
+        return tuple(v)
+    return (v, v)
+
+
+def out_size(in_size: int, k: int, stride: int, pad: int, dil: int) -> int:
+    return (in_size + 2 * pad - (dil * (k - 1) + 1)) // stride + 1
+
+
+def _check_shapes(x, w, kernel_size):
+    n, hi, wi, c = x.shape
+    nw, ho, wo, heads, k2, cw = w.shape
+    kh, kw = kernel_size
+    if nw != n:
+        raise ValueError(f"batch mismatch: x {n} vs w {nw}")
+    if k2 != kh * kw:
+        raise ValueError(f"w K^2 dim {k2} != {kh}*{kw}")
+    if c % cw != 0:
+        raise ValueError(f"x channels {c} not divisible by weight channels {cw}")
+
+
+def _pad_input(x, pad, dilation, pad_mode):
+    ph, pw = pad
+    if ph == 0 and pw == 0:
+        return x
+    cfg = [(0, 0), (ph, ph), (pw, pw), (0, 0)]
+    if pad_mode == "zeros":
+        return jnp.pad(x, cfg)
+    elif pad_mode == "reflect":
+        return jnp.pad(x, cfg, mode="reflect")
+    else:
+        raise ValueError(f"unknown pad_mode {pad_mode!r}")
+
+
+def _agg_core_xla(xp, w, kernel_size, stride, dilation):
+    """VALID local aggregation on a pre-padded input.
+
+    xp: [N, Hp, Wp, C], w: [N, Ho, Wo, heads, Kh*Kw, Cw] -> [N, Ho, Wo, heads*C]
+    """
+    n, hp, wp, c = xp.shape
+    _, ho, wo, heads, k2, cw = w.shape
+    kh, kw = kernel_size
+    sh, sw = stride
+    dh, dw_ = dilation
+    g = c // cw
+
+    taps = []
+    for ikh in range(kh):
+        for ikw in range(kw):
+            h0, w0 = ikh * dh, ikw * dw_
+            tap = lax.slice(
+                xp,
+                (0, h0, w0, 0),
+                (n, h0 + (ho - 1) * sh + 1, w0 + (wo - 1) * sw + 1, c),
+                (1, sh, sw, 1),
+            )
+            taps.append(tap)
+    patches = jnp.stack(taps, axis=3)  # [N, Ho, Wo, K2, C]
+    patches = patches.reshape(n, ho, wo, 1, k2, g, cw)
+    wb = w.reshape(n, ho, wo, heads, k2, 1, cw)
+    acc_dtype = jnp.promote_types(xp.dtype, jnp.float32)
+    out = jnp.sum(patches.astype(acc_dtype) * wb.astype(acc_dtype), axis=4)
+    return out.reshape(n, ho, wo, heads * c).astype(xp.dtype)
+
+
+def local_aggregate(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    kernel_size=3,
+    stride=1,
+    padding=None,
+    dilation=1,
+    pad_mode: str = "zeros",
+    impl: str = "auto",
+) -> jax.Array:
+    """Position-specific K x K weighted aggregation (the CoT "local conv").
+
+    Args:
+      x: ``[N, H, W, C]`` input features (NHWC).
+      w: ``[N, Ho, Wo, heads, K*K, Cw]`` per-position weights, ``C % Cw == 0``.
+      kernel_size / stride / padding / dilation: conv-style geometry.  Default
+        padding is SAME-for-odd-K: ``(dilation * (K - 1) + 1) // 2``.
+      pad_mode: ``'zeros'`` (aggregation_zeropad) or ``'reflect'``
+        (aggregation_refpad).
+      impl: ``'xla'``, ``'pallas'`` or ``'auto'`` (pallas on TPU when
+        supported, else XLA).
+
+    Returns:
+      ``[N, Ho, Wo, heads*C]``; output channel ``head*C + c`` aggregates input
+      channel ``c`` with weight channel ``c % Cw`` — identical channel order to
+      the reference op so converted checkpoints line up.
+    """
+    kernel_size = _pair(kernel_size)
+    stride = _pair(stride)
+    dilation = _pair(dilation)
+    if padding is None:
+        padding = tuple((d * (k - 1) + 1) // 2 for k, d in zip(kernel_size, dilation))
+    else:
+        padding = _pair(padding)
+    _check_shapes(x, w, kernel_size)
+
+    n, hi, wi, c = x.shape
+    ho = out_size(hi, kernel_size[0], stride[0], padding[0], dilation[0])
+    wo = out_size(wi, kernel_size[1], stride[1], padding[1], dilation[1])
+    if (ho, wo) != tuple(w.shape[1:3]):
+        raise ValueError(f"weight spatial {w.shape[1:3]} != derived output ({ho},{wo})")
+
+    xp = _pad_input(x, padding, dilation, pad_mode)
+
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and stride == (1, 1) and jax.default_backend() == "tpu"
+    )
+    if use_pallas and stride == (1, 1):
+        from cotnet_tpu.ops.local_agg_pallas import agg_core_pallas, fits_vmem
+
+        if fits_vmem(xp.shape, w.shape, xp.dtype.itemsize):
+            return agg_core_pallas(xp, w, kernel_size, dilation)
+    return _agg_core_xla(xp, w, kernel_size, stride, dilation)
+
+
+def local_aggregate_mix(
+    x: jax.Array,
+    w1: jax.Array,
+    w2: jax.Array,
+    *,
+    kernel_size1=3,
+    kernel_size2=5,
+    stride=1,
+    padding1=None,
+    padding2=None,
+    dilation=1,
+    pad_mode: str = "zeros",
+    impl: str = "auto",
+) -> jax.Array:
+    """Dual-kernel aggregation (reference aggregation_zeropad_mix.py:20-74).
+
+    Aggregates ``x`` with a K1 x K1 weight ``w1`` and a K2 x K2 weight ``w2``
+    and concatenates on channels: output ``[N, Ho, Wo, 2*heads*C]`` ordered
+    ``[kernel_idx, head, c]`` — kernel-major, matching the reference output
+    ``[N, 2*heads*C, Ho, Wo]`` (test at aggregation_zeropad_mix.py:344-386).
+    """
+    y1 = local_aggregate(
+        x, w1, kernel_size=kernel_size1, stride=stride, padding=padding1,
+        dilation=dilation, pad_mode=pad_mode, impl=impl)
+    y2 = local_aggregate(
+        x, w2, kernel_size=kernel_size2, stride=stride, padding=padding2,
+        dilation=dilation, pad_mode=pad_mode, impl=impl)
+    return jnp.concatenate([y1, y2], axis=-1)
+
+
+def local_aggregate_mix_merge(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    kernel_size1=3,
+    kernel_size2=5,
+    stride=1,
+    padding1=None,
+    padding2=None,
+    dilation=1,
+    pad_mode: str = "zeros",
+    impl: str = "auto",
+) -> jax.Array:
+    """Packed dual-kernel aggregation (aggregation_zeropad_mix_merge.py:269-271).
+
+    ``w``: ``[N, Ho, Wo, heads, K1*K1 + K2*K2, Cw]`` with the K1 taps first.
+    Equivalent to :func:`local_aggregate_mix` on the unpacked halves.
+    """
+    k1sq = _pair(kernel_size1)[0] * _pair(kernel_size1)[1]
+    w1 = w[:, :, :, :, :k1sq, :]
+    w2 = w[:, :, :, :, k1sq:, :]
+    return local_aggregate_mix(
+        x, w1, w2, kernel_size1=kernel_size1, kernel_size2=kernel_size2,
+        stride=stride, padding1=padding1, padding2=padding2,
+        dilation=dilation, pad_mode=pad_mode, impl=impl)
+
+
+def local_aggregate_dilated(
+    x: jax.Array,
+    w: jax.Array,
+    dilations: Sequence[int],
+    *,
+    kernel_size=3,
+    stride=1,
+    padding=None,
+    pad_mode: str = "zeros",
+    impl: str = "auto",
+) -> jax.Array:
+    """Per-weight-channel dilation (aggregation_zeropad_dilate.py:30-35).
+
+    ``dilations`` is a static per-``cw`` sequence of ints (the reference reads
+    it from a device buffer at kernel runtime; it is a model hyperparameter,
+    so here it is trace-time static).  Weight channel ``cw`` aggregates its
+    neighborhood at dilation ``dilations[cw]`` with SAME padding at that
+    dilation (the reference hard-codes ``pad = dilation`` for K=3,
+    aggregation_zeropad_dilate.py:33-34), so output spatial == input spatial
+    for every channel.  ``padding`` is ignored (kept for API symmetry).
+    """
+    del padding  # per-channel SAME padding is implied by the op's semantics
+    dilations = tuple(int(d) for d in dilations)
+    n, hi, wi, c = x.shape
+    _, ho, wo, heads, k2, cw = w.shape
+    if len(dilations) != cw:
+        raise ValueError(f"need one dilation per weight channel ({cw}), got {len(dilations)}")
+
+    uniq = sorted(set(dilations))
+    mask_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    out = None
+    for d in uniq:
+        yd = local_aggregate(
+            x, w, kernel_size=kernel_size, stride=stride, padding=None,
+            dilation=d, pad_mode=pad_mode, impl=impl)
+        # channel c of each head uses dilation dilations[c % Cw]
+        cw_mask = jnp.asarray([dd == d for dd in dilations], dtype=mask_dtype)
+        full_mask = jnp.tile(cw_mask, (heads * c) // cw)
+        out = yd * full_mask if out is None else out + yd * full_mask
+    return out.astype(x.dtype)

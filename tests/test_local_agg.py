@@ -1,0 +1,160 @@
+"""Local-aggregation kernel parity tests.
+
+Mirrors the reference's executable self-tests
+(/root/reference/cupy_layers/aggregation_zeropad.py:238-297 and siblings):
+oracle comparison + gradient checks, for every variant.  The oracle here is
+an independent brute-force numpy implementation (even more primitive than the
+reference's unfold/einsum oracle, so the two JAX implementations and the
+oracle are three mutually independent formulations).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.test_util import check_grads
+
+from cotnet_tpu.ops import (
+    local_aggregate,
+    local_aggregate_dilated,
+    local_aggregate_mix,
+    local_aggregate_mix_merge,
+    out_size,
+)
+
+
+def oracle_agg(x, w, k, stride, pad, dil, pad_mode="zeros"):
+    """Brute-force numpy local aggregation, NHWC / k-major weight layout."""
+    n, hi, wi, c = x.shape
+    _, ho, wo, heads, k2, cw = w.shape
+    mode = {"zeros": "constant", "reflect": "reflect"}[pad_mode]
+    xp = np.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)], mode=mode)
+    out = np.zeros((n, ho, wo, heads * c), dtype=np.float64)
+    for head in range(heads):
+        for kh in range(k):
+            for kw in range(k):
+                tap = xp[:, kh * dil:kh * dil + (ho - 1) * stride + 1:stride,
+                         kw * dil:kw * dil + (wo - 1) * stride + 1:stride, :]
+                wk = w[:, :, :, head, kh * k + kw, :]  # [n, ho, wo, cw]
+                wk_full = np.tile(wk, (1, 1, 1, c // cw))
+                out[..., head * c:(head + 1) * c] += wk_full * tap
+    return out
+
+
+def make_inputs(seed=0, n=2, c=8, cw=4, hi=9, wi=9, heads=1, k=3, stride=1,
+                dil=1, pad=None):
+    if pad is None:
+        pad = (dil * (k - 1) + 1) // 2
+    ho = out_size(hi, k, stride, pad, dil)
+    wo = out_size(wi, k, stride, pad, dil)
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, hi, wi, c).astype(np.float32)
+    w = rng.randn(n, ho, wo, heads, k * k, cw).astype(np.float32)
+    return x, w, pad
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize(
+    "k,stride,dil,heads,pad_mode",
+    [
+        (3, 1, 1, 1, "zeros"),
+        (5, 1, 1, 2, "zeros"),
+        (1, 1, 1, 2, "zeros"),
+        (3, 2, 1, 1, "zeros"),   # strided -> XLA path even under impl='pallas'
+        (3, 1, 2, 1, "zeros"),   # dilated
+        (3, 1, 1, 1, "reflect"),
+        (5, 1, 1, 1, "reflect"),
+    ],
+)
+def test_forward_vs_oracle(impl, k, stride, dil, heads, pad_mode):
+    if impl == "pallas" and stride != 1:
+        impl = "xla"  # documented fallback
+    x, w, pad = make_inputs(k=k, stride=stride, dil=dil, heads=heads)
+    y = local_aggregate(
+        jnp.asarray(x), jnp.asarray(w), kernel_size=k, stride=stride,
+        padding=pad, dilation=dil, pad_mode=pad_mode, impl=impl)
+    ref = oracle_agg(x.astype(np.float64), w.astype(np.float64), k, stride,
+                     pad, dil, pad_mode)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("pad_mode", ["zeros", "reflect"])
+def test_pallas_matches_xla_forward_and_grads(pad_mode):
+    x, w, pad = make_inputs(k=3, heads=2, c=8, cw=4)
+    x, w = jnp.asarray(x), jnp.asarray(w)
+
+    def f(impl):
+        def g(x, w):
+            y = local_aggregate(x, w, kernel_size=3, padding=pad,
+                                pad_mode=pad_mode, impl=impl)
+            # non-uniform scalarization so grads exercise all positions
+            return jnp.sum(y * jnp.cos(jnp.arange(y.size).reshape(y.shape)))
+        return g
+
+    y_x = f("xla")(x, w)
+    y_p = f("pallas")(x, w)
+    np.testing.assert_allclose(y_p, y_x, rtol=1e-4, atol=1e-4)
+
+    gx_x, gw_x = jax.grad(f("xla"), argnums=(0, 1))(x, w)
+    gx_p, gw_p = jax.grad(f("pallas"), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(gx_p, gx_x, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(gw_p, gw_x, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_check_grads(impl):
+    x, w, pad = make_inputs(n=1, c=4, cw=2, hi=5, wi=5)
+    x, w = jnp.asarray(x), jnp.asarray(w)
+
+    def g(x, w):
+        return local_aggregate(x, w, kernel_size=3, padding=pad, impl=impl)
+
+    check_grads(g, (x, w), order=1, modes=["rev"], atol=1e-2, rtol=1e-2)
+
+
+def test_mix_vs_composition():
+    n, c, cw, hi = 2, 8, 4, 6
+    rng = np.random.RandomState(1)
+    x = rng.randn(n, hi, hi, c).astype(np.float32)
+    w1 = rng.randn(n, hi, hi, 1, 9, cw).astype(np.float32)
+    w2 = rng.randn(n, hi, hi, 1, 25, cw).astype(np.float32)
+    y = local_aggregate_mix(jnp.asarray(x), jnp.asarray(w1), jnp.asarray(w2))
+    assert y.shape == (n, hi, hi, 2 * c)
+    r1 = oracle_agg(x.astype(np.float64), w1.astype(np.float64), 3, 1, 1, 1)
+    r2 = oracle_agg(x.astype(np.float64), w2.astype(np.float64), 5, 1, 2, 1)
+    np.testing.assert_allclose(np.asarray(y), np.concatenate([r1, r2], -1),
+                               rtol=1e-4, atol=1e-4)
+
+    # merge variant: packed weights give the same result
+    wm = np.concatenate([w1, w2], axis=4)
+    ym = local_aggregate_mix_merge(jnp.asarray(x), jnp.asarray(wm))
+    np.testing.assert_allclose(np.asarray(ym), np.asarray(y), rtol=1e-6, atol=1e-6)
+
+
+def test_dilated_per_channel():
+    n, c, cw, hi = 2, 8, 4, 9
+    dilations = [1, 2, 1, 2]
+    rng = np.random.RandomState(2)
+    x = rng.randn(n, hi, hi, c).astype(np.float32)
+    w = rng.randn(n, hi, hi, 1, 9, cw).astype(np.float32)
+    y = local_aggregate_dilated(jnp.asarray(x), jnp.asarray(w), dilations)
+    assert y.shape == (n, hi, hi, c)
+    r1 = oracle_agg(x.astype(np.float64), w.astype(np.float64), 3, 1, 1, 1)
+    r2 = oracle_agg(x.astype(np.float64), w.astype(np.float64), 3, 1, 2, 2)
+    ref = np.zeros_like(r1)
+    for ci in range(c):
+        src = r1 if dilations[ci % cw] == 1 else r2
+        ref[..., ci] = src[..., ci]
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_runs_and_is_close():
+    x, w, pad = make_inputs(k=3)
+    xb = jnp.asarray(x, dtype=jnp.bfloat16)
+    wb = jnp.asarray(w, dtype=jnp.bfloat16)
+    for impl in ("xla", "pallas"):
+        y = local_aggregate(xb, wb, kernel_size=3, padding=pad, impl=impl)
+        assert y.dtype == jnp.bfloat16
+        ref = oracle_agg(x.astype(np.float64), w.astype(np.float64), 3, 1, pad, 1)
+        np.testing.assert_allclose(np.asarray(y, dtype=np.float64), ref,
+                                   rtol=0.1, atol=0.25)
