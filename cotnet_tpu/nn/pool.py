@@ -72,7 +72,8 @@ def max_pool2d(x, kernel_size, stride=None, padding=0, ceil_mode=False):
     ow = _pool_out_size(w, k[1], s[1], p[1], ceil_mode)
     eh = max(0, (oh - 1) * s[0] + k[0] - h - p[0])
     ew = max(0, (ow - 1) * s[1] + k[1] - w - p[1])
-    neg = (jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating)
+    # -inf init dispatches to the reduce_window_max primitive (autodiff-able)
+    neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
            else jnp.iinfo(x.dtype).min)
     return lax.reduce_window(
         x, neg, lax.max, (1, k[0], k[1], 1), (1, s[0], s[1], 1),
@@ -96,9 +97,8 @@ def avg_pool2d_same(x, kernel_size, stride):
 def max_pool2d_same(x, kernel_size, stride):
     from cotnet_tpu.nn.conv import pad_same
     k, s = _pair(kernel_size), _pair(stride)
-    neg = float(jnp.finfo(jnp.float32).min)
-    xp = pad_same(x, k, s, value=neg)
-    return lax.reduce_window(xp, jnp.asarray(neg, x.dtype), lax.max,
+    xp = pad_same(x, k, s, value=float(jnp.finfo(jnp.float32).min))
+    return lax.reduce_window(xp, -jnp.inf, lax.max,
                              (1, k[0], k[1], 1), (1, s[0], s[1], 1), "VALID")
 
 

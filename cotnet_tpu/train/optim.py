@@ -128,6 +128,45 @@ def sgdp(learning_rate, momentum=0.9, dampening=0.0, eps=1e-8,
         optax.scale_by_learning_rate(learning_rate))
 
 
+class _LookaheadState(NamedTuple):
+    inner: Any
+    slow: Any
+    count: jnp.ndarray
+
+
+def lookahead(inner: optax.GradientTransformation, sync_period: int = 6,
+              alpha: float = 0.5):
+    """Lookahead wrapper (reference optim/lookahead.py): keep slow weights;
+    every ``sync_period`` inner steps, pull fast weights toward slow by
+    ``alpha`` and reset.  Implemented as a plain GradientTransformation over
+    the fast params (no params wrapper needed, unlike optax.lookahead)."""
+
+    def init(params):
+        return _LookaheadState(inner.init(params),
+                               jax.tree.map(jnp.copy, params),
+                               jnp.zeros((), jnp.int32))
+
+    def update(grads, state, params):
+        updates, inner_state = inner.update(grads, state.inner, params)
+        count = state.count + 1
+        sync = (count % sync_period) == 0
+
+        def upd(u, p, s):
+            fast = p + u
+            slow_next = s + alpha * (fast - s)
+            return (jnp.where(sync, slow_next - p, u),
+                    jnp.where(sync, slow_next, s))
+
+        pairs = jax.tree.map(upd, updates, params, state.slow)
+        new_updates = jax.tree.map(lambda pr: pr[0], pairs,
+                                   is_leaf=lambda x: isinstance(x, tuple))
+        new_slow = jax.tree.map(lambda pr: pr[1], pairs,
+                                is_leaf=lambda x: isinstance(x, tuple))
+        return new_updates, _LookaheadState(inner_state, new_slow, count)
+
+    return optax.GradientTransformation(init, update)
+
+
 def clip_transform(mode: Optional[str], value: float):
     """norm/value/agc (reference utils/clip_grad.py:26-40)."""
     if not mode or value is None or value <= 0:
@@ -231,5 +270,5 @@ def create_optimizer(cfg: dict, schedule_or_lr, params=None,
     clip = clip_transform(cfg.get("clip_mode", "norm"), cfg.get("clip_grad"))
     tx = optax.chain(clip, tx)
     if use_lookahead:
-        tx = optax.lookahead(tx, sync_period=6, slow_step_size=0.5)
+        tx = lookahead(tx, sync_period=6, alpha=0.5)
     return tx

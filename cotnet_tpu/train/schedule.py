@@ -21,11 +21,14 @@ import jax.numpy as jnp
 
 
 def _warmup_wrap(fn, base_lr, warmup_t, warmup_lr_init, t_of_step):
+    """Linear warmup override for t < warmup_t; the main schedule sees the
+    *raw* t (reference Scheduler semantics: warmup replaces, not shifts —
+    cosine_lr.py:86-95)."""
     def sched(step):
         t = t_of_step(step)
         warm = warmup_lr_init + (base_lr - warmup_lr_init) * (
             t / jnp.maximum(warmup_t, 1e-8))
-        main = fn(jnp.maximum(t - warmup_t, 0.0))
+        main = fn(t)
         return jnp.where(t < warmup_t, warm, main) if warmup_t > 0 else main
     return sched
 
