@@ -27,7 +27,7 @@ def _zeros_like_tree(tree_shapes):
 def build(model_name: str, batch: int, size: int, impl: str, dtype):
     from cotnet_tpu.models import create_model
 
-    model = create_model(model_name, block_args=dict(impl=impl))
+    model = create_model(model_name, dtype=dtype, block_args=dict(impl=impl))
     x = jnp.ones((batch, size, size, 3), dtype)
     shapes = jax.eval_shape(
         lambda r, x: model.init({"params": r}, x, training=False),

@@ -23,7 +23,7 @@ from cotnet_tpu.models.helpers import build_model_with_cfg, default_cfg
 from cotnet_tpu.models.registry import register_model
 from cotnet_tpu.models.resnet import Downsample, ResNet, drop_block_cfgs
 from cotnet_tpu.nn import (
-    BatchNorm,
+    batch_norm,
     Conv2d,
     DropBlock2d,
     DropPath,
@@ -67,18 +67,19 @@ class CotLayer(fnn.Module):
         swish = get_act_fn("swish")
 
         def bn(name):
-            return BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
-                             name=name)
+            return lambda y, training=training: batch_norm(
+                y, training, name=name, dtype=self.dtype,
+                axis_name=self.axis_name)
 
         # (1) static context: grouped KxK conv (groups=4) + BN + ReLU
         k = Conv2d(dim, ks, 1, ks // 2, groups=4, dtype=self.dtype,
                    name="key_embed_conv")(x)
-        k = relu(bn("key_embed_bn")(k, training=training))
+        k = relu(bn("key_embed_bn")(k))
 
         # (2) attention embed from [x; k]
         qk = jnp.concatenate([x, k], axis=-1)
         w = Conv2d(dim // factor, 1, dtype=self.dtype, name="embed_conv1")(qk)
-        w = relu(bn("embed_bn1")(w, training=training))
+        w = relu(bn("embed_bn1")(w))
         w = Conv2d(k2 * cw, 1, use_bias=True, dtype=self.dtype,
                    name="embed_conv2")(w)
         w = SubChannelGroupNorm(k2=k2, cw=cw, dtype=self.dtype,
@@ -86,21 +87,20 @@ class CotLayer(fnn.Module):
 
         # (3) value
         v = Conv2d(dim, 1, dtype=self.dtype, name="conv1x1_conv")(x)
-        v = bn("conv1x1_bn")(v, training=training)
+        v = bn("conv1x1_bn")(v)
 
         # (4) dynamic context: fused local aggregation
         n, h, wd, _ = w.shape
         wr = w.reshape(n, h, wd, 1, k2, cw)
         y = local_aggregate(v, wr, kernel_size=ks, padding=(ks - 1) // 2,
                             impl=self.impl)
-        y = swish(bn("bn")(y, training=training))
+        y = swish(bn("bn")(y))
 
         # (5) radix-2 fusion of dynamic (y) and static (k) contexts
         attn_chs = max(dim * radix // 4, 32)
         gap = jnp.mean(y + k, axis=(1, 2))  # [N, dim]
         a = fnn.Dense(attn_chs, dtype=self.dtype, name="se_fc1")(gap)
-        a = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
-                      name="se_bn")(a, training=training)
+        a = batch_norm(a, training, name="se_bn", dtype=self.dtype, axis_name=self.axis_name)
         a = relu(a)
         a = fnn.Dense(radix * dim, dtype=self.dtype, name="se_fc2")(a)
         a = jax.nn.softmax(a.reshape(n, dim, radix), axis=-1)
@@ -133,18 +133,19 @@ class CoXtLayer(fnn.Module):
         n, h, wd, _ = x.shape
 
         def bn(name):
-            return BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
-                             name=name)
+            return lambda y, training=training: batch_norm(
+                y, training, name=name, dtype=self.dtype,
+                axis_name=self.axis_name)
 
         k = Conv2d(dim, ks, 1, ks // 2, groups=8, dtype=self.dtype,
                    name="key_embed_conv")(x)
-        k = relu(bn("key_embed_bn")(k, training=training))
+        k = relu(bn("key_embed_bn")(k))
 
         # interleaved [x_c, k_c] pairs (reference cotnet.py:153-154)
         qk = jnp.stack([x, k], axis=-1).reshape(n, h, wd, 2 * dim)
         w = Conv2d(dim // factor, 1, groups=dw_group, dtype=self.dtype,
                    name="embed_conv1")(qk)
-        w = relu(bn("embed_bn1")(w, training=training))
+        w = relu(bn("embed_bn1")(w))
         w = Conv2d(k2 * cw_total, 1, use_bias=True, groups=dw_group,
                    dtype=self.dtype, name="embed_conv2")(w)
         w = SubChannelGroupNorm(k2=k2, cw=cw_total, dtype=self.dtype,
@@ -152,7 +153,7 @@ class CoXtLayer(fnn.Module):
 
         v = Conv2d(dim, 1, groups=dw_group, dtype=self.dtype,
                    name="conv1x1_conv")(x)
-        v = bn("conv1x1_bn")(v, training=training)
+        v = bn("conv1x1_bn")(v)
 
         # per-dw-group aggregation (reference reshapes batch*dw_group,
         # cotnet.py:157-162; channel-half split is equivalent and avoids the
@@ -166,13 +167,12 @@ class CoXtLayer(fnn.Module):
             outs.append(local_aggregate(vg, wg, kernel_size=ks,
                                         padding=(ks - 1) // 2, impl=self.impl))
         y = jnp.concatenate(outs, axis=-1)
-        y = swish(bn("bn")(y, training=training))
+        y = swish(bn("bn")(y))
 
         attn_chs = max(dim * radix // 4, 32)
         gap = jnp.mean(y + k, axis=(1, 2))
         a = fnn.Dense(attn_chs, dtype=self.dtype, name="se_fc1")(gap)
-        a = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
-                      name="se_bn")(a, training=training)
+        a = batch_norm(a, training, name="se_bn", dtype=self.dtype, axis_name=self.axis_name)
         a = relu(a)
         a = fnn.Dense(radix * dim, dtype=self.dtype, name="se_fc2")(a)
         a = jax.nn.softmax(a.reshape(n, dim, radix), axis=-1)
@@ -215,8 +215,7 @@ class CotBottleneck(fnn.Module):
         residual = x
 
         y = Conv2d(first_planes, 1, dtype=self.dtype, name="conv1")(x)
-        y = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
-                      name="bn1")(y, training=training)
+        y = batch_norm(y, training, name="bn1", dtype=self.dtype, axis_name=self.axis_name)
         y = self._maybe_drop_block(y, training)
         y = act(y)
 
@@ -231,14 +230,12 @@ class CotBottleneck(fnn.Module):
         y = Conv2d(outplanes, 1, dtype=self.dtype, name="conv3")(y)
         bn3_scale = (fnn.initializers.zeros if self.zero_init_last_bn
                      else fnn.initializers.ones)
-        y = fnn.BatchNorm(use_running_average=not training, momentum=0.9,
-                          epsilon=1e-5, dtype=self.dtype,
-                          scale_init=bn3_scale,
-                          axis_name=self.axis_name if training else None,
-                          name="bn3")(y)
+        y = batch_norm(y, training, name="bn3", dtype=self.dtype,
+                       axis_name=self.axis_name, scale_init=bn3_scale)
         y = self._maybe_drop_block(y, training)
 
-        attn = create_attn(self.attn_layer, outplanes, dtype=self.dtype)
+        attn = create_attn(self.attn_layer, outplanes, dtype=self.dtype,
+                           name="se")
         if attn is not None:
             y = attn(y, training=training)
         if self.drop_path_rate > 0:

@@ -20,7 +20,7 @@ from cotnet_tpu.models.helpers import build_model_with_cfg, default_cfg
 from cotnet_tpu.models.registry import register_model
 from cotnet_tpu.models.resnet import Downsample, ResNet
 from cotnet_tpu.nn import (
-    BatchNorm,
+    batch_norm,
     BlurPool2d,
     Conv2d,
     DropBlock2d,
@@ -91,8 +91,7 @@ class CotHybridBottleneck(fnn.Module):
         residual = x
 
         y = Conv2d(first_planes, 1, dtype=self.dtype, name="conv1")(x)
-        y = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
-                      name="bn1")(y, training=training)
+        y = batch_norm(y, training, name="bn1", dtype=self.dtype, axis_name=self.axis_name)
         y = self._maybe_drop_block(y, training)
         y = relu(y)
 
@@ -133,11 +132,8 @@ class CotHybridBottleneck(fnn.Module):
         y = Conv2d(outplanes, 1, dtype=self.dtype, name="conv3")(y)
         bn3_scale = (fnn.initializers.zeros if self.zero_init_last_bn
                      else fnn.initializers.ones)
-        y = fnn.BatchNorm(use_running_average=not training, momentum=0.9,
-                          epsilon=1e-5, dtype=self.dtype,
-                          scale_init=bn3_scale,
-                          axis_name=self.axis_name if training else None,
-                          name="bn3")(y)
+        y = batch_norm(y, training, name="bn3", dtype=self.dtype,
+                       axis_name=self.axis_name, scale_init=bn3_scale)
         y = self._maybe_drop_block(y, training)
         if self.drop_path_rate > 0:
             y = DropPath(self.drop_path_rate, name="drop_path")(y, training)

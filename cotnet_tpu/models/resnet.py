@@ -18,7 +18,7 @@ from flax import linen as fnn
 from cotnet_tpu.models.helpers import build_model_with_cfg, default_cfg
 from cotnet_tpu.models.registry import register_model
 from cotnet_tpu.nn import (
-    BatchNorm,
+    batch_norm,
     BlurPool2d,
     ClassifierHead,
     Conv2d,
@@ -76,8 +76,7 @@ class Downsample(fnn.Module):
             p = get_padding(ks, self.stride, fd)
             x = Conv2d(self.out_channels, ks, self.stride, p, fd,
                        dtype=self.dtype, name="conv")(x)
-        return BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
-                         name="bn")(x, training=training)
+        return batch_norm(x, training, name="bn", dtype=self.dtype, axis_name=self.axis_name)
 
 
 class BasicBlock(fnn.Module):
@@ -114,8 +113,7 @@ class BasicBlock(fnn.Module):
 
         y = Conv2d(first_planes, 3, 1 if use_aa else self.stride,
                    fd, fd, dtype=self.dtype, name="conv1")(x)
-        y = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
-                      name="bn1")(y, training=training)
+        y = batch_norm(y, training, name="bn1", dtype=self.dtype, axis_name=self.axis_name)
         y = self._maybe_drop_block(y, training)
         y = act(y)
         if use_aa:
@@ -125,14 +123,12 @@ class BasicBlock(fnn.Module):
                    dtype=self.dtype, name="conv2")(y)
         bn2_scale = (fnn.initializers.zeros if self.zero_init_last_bn
                      else fnn.initializers.ones)
-        y = fnn.BatchNorm(use_running_average=not training, momentum=0.9,
-                          epsilon=1e-5, dtype=self.dtype,
-                          scale_init=bn2_scale,
-                          axis_name=self.axis_name if training else None,
-                          name="bn2")(y)
+        y = batch_norm(y, training, name="bn2", dtype=self.dtype,
+                       axis_name=self.axis_name, scale_init=bn2_scale)
         y = self._maybe_drop_block(y, training)
 
-        attn = create_attn(self.attn_layer, outplanes, dtype=self.dtype)
+        attn = create_attn(self.attn_layer, outplanes, dtype=self.dtype,
+                           name="se")
         if attn is not None:
             y = attn(y, training=training)
         if self.drop_path_rate > 0:
@@ -184,15 +180,13 @@ class Bottleneck(fnn.Module):
         residual = x
 
         y = Conv2d(first_planes, 1, dtype=self.dtype, name="conv1")(x)
-        y = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
-                      name="bn1")(y, training=training)
+        y = batch_norm(y, training, name="bn1", dtype=self.dtype, axis_name=self.axis_name)
         y = self._maybe_drop_block(y, training)
         y = act(y)
 
         y = Conv2d(width, 3, 1 if use_aa else self.stride, fd, fd,
                    groups=self.cardinality, dtype=self.dtype, name="conv2")(y)
-        y = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
-                      name="bn2")(y, training=training)
+        y = batch_norm(y, training, name="bn2", dtype=self.dtype, axis_name=self.axis_name)
         y = self._maybe_drop_block(y, training)
         y = act(y)
         if use_aa:
@@ -201,14 +195,12 @@ class Bottleneck(fnn.Module):
         y = Conv2d(outplanes, 1, dtype=self.dtype, name="conv3")(y)
         bn3_scale = (fnn.initializers.zeros if self.zero_init_last_bn
                      else fnn.initializers.ones)
-        y = fnn.BatchNorm(use_running_average=not training, momentum=0.9,
-                          epsilon=1e-5, dtype=self.dtype,
-                          scale_init=bn3_scale,
-                          axis_name=self.axis_name if training else None,
-                          name="bn3")(y)
+        y = batch_norm(y, training, name="bn3", dtype=self.dtype,
+                       axis_name=self.axis_name, scale_init=bn3_scale)
         y = self._maybe_drop_block(y, training)
 
-        attn = create_attn(self.attn_layer, outplanes, dtype=self.dtype)
+        attn = create_attn(self.attn_layer, outplanes, dtype=self.dtype,
+                           name="se")
         if attn is not None:
             y = attn(y, training=training)
         if self.drop_path_rate > 0:
@@ -282,18 +274,15 @@ class ResNet(fnn.Module):
                 c2 = (self.stem_width if "narrow" in self.stem_type
                       else 6 * (self.stem_width // 4))
             x = Conv2d(c1, 3, 2, 1, dtype=self.dtype, name="conv1_0")(x)
-            x = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
-                          name="bn1_0")(x, training=training)
+            x = batch_norm(x, training, name="bn1_0", dtype=self.dtype, axis_name=self.axis_name)
             x = stem_act(x)
             x = Conv2d(c2, 3, 1, 1, dtype=self.dtype, name="conv1_1")(x)
-            x = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
-                          name="bn1_1")(x, training=training)
+            x = batch_norm(x, training, name="bn1_1", dtype=self.dtype, axis_name=self.axis_name)
             x = stem_act(x)
             x = Conv2d(inplanes, 3, 1, 1, dtype=self.dtype, name="conv1_2")(x)
         else:
             x = Conv2d(inplanes, 7, 2, 3, dtype=self.dtype, name="conv1")(x)
-        x = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
-                      name="bn1")(x, training=training)
+        x = batch_norm(x, training, name="bn1", dtype=self.dtype, axis_name=self.axis_name)
         x = stem_act(x)
         features = [x]
 

@@ -2,19 +2,23 @@
 
 Covers the reference layer-zoo conv helpers: ConvBnAct
 (models/layers/conv_bn_act.py), symmetric int padding (padding.py),
-TF-'SAME' asymmetric padding (conv2d_same.py), and weight-standardized conv
-(std_conv.py).  Weights are HWIO; the PyTorch converter transposes OIHW.
+TF-'SAME' asymmetric padding (conv2d_same.py — flax/XLA 'SAME' has identical
+semantics), and weight-standardized conv (std_conv.py).  Weights are HWIO;
+the PyTorch converter transposes OIHW.
+
+``Conv2d`` is a *factory* returning a plain ``fnn.Conv`` so parameter paths
+stay flat (``<name>/kernel``) for the checkpoint converter.
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Optional, Tuple, Union
 
 import jax.numpy as jnp
+from jax import lax
 from flax import linen as fnn
 
 from cotnet_tpu.nn.activations import get_act_fn
-from cotnet_tpu.nn.norm import BatchNorm
 
 Dtype = Any
 
@@ -29,7 +33,8 @@ def get_padding(kernel_size: int, stride: int = 1, dilation: int = 1) -> int:
 
 
 def pad_same(x, kernel_size, stride, dilation=(1, 1), value=0.0):
-    """TF-SAME asymmetric padding on NHWC (reference conv2d_same.py:14-25)."""
+    """TF-SAME asymmetric padding on NHWC (reference conv2d_same.py:14-25);
+    used by the SAME-pool wrappers."""
     ih, iw = x.shape[1], x.shape[2]
     pads = []
     for i, (k, s, d) in enumerate(zip(kernel_size, stride, dilation)):
@@ -40,57 +45,44 @@ def pad_same(x, kernel_size, stride, dilation=(1, 1), value=0.0):
                    constant_values=value)
 
 
-kaiming_normal_out = fnn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
-# torch kaiming_normal_(mode='fan_out', nonlinearity='relu') is an
-# untruncated normal; use the plain normal variant for closer init parity.
+# torch kaiming_normal_(mode='fan_out', nonlinearity='relu') — the reference
+# init for every conv (resnet.py:596-599)
 kaiming_normal_out = fnn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
-class Conv2d(fnn.Module):
-    """NHWC conv with torch-style int padding or TF-SAME string padding."""
+def normalize_padding(padding, kernel_size, stride, dilation):
+    ks, st, di = to_2tuple(kernel_size), to_2tuple(stride), to_2tuple(dilation)
+    if padding is None:
+        padding = tuple(get_padding(k, s, d) for k, s, d in zip(ks, st, di))
+    if isinstance(padding, str):
+        return padding.upper()
+    p = to_2tuple(padding)
+    return ((p[0], p[0]), (p[1], p[1]))
 
-    features: int
-    kernel_size: Union[int, Tuple[int, int]] = 1
-    stride: Union[int, Tuple[int, int]] = 1
-    padding: Union[int, str, Tuple[int, int], None] = None
-    dilation: Union[int, Tuple[int, int]] = 1
-    groups: int = 1
-    use_bias: bool = False
-    dtype: Optional[Dtype] = None
-    kernel_init: Callable = kaiming_normal_out
 
-    @fnn.compact
-    def __call__(self, x):
-        ks = to_2tuple(self.kernel_size)
-        st = to_2tuple(self.stride)
-        di = to_2tuple(self.dilation)
-        pad = self.padding
-        if pad is None:
-            pad = tuple(get_padding(k, s, d) for k, s, d in zip(ks, st, di))
-        if isinstance(pad, str):
-            if pad.lower() == "same":
-                x = pad_same(x, ks, st, di)
-                pad = ((0, 0), (0, 0))
-            elif pad.lower() == "valid":
-                pad = ((0, 0), (0, 0))
-            else:
-                raise ValueError(pad)
-        else:
-            ph, pw = to_2tuple(pad) if not isinstance(pad, tuple) or len(pad) != 2 \
-                or isinstance(pad[0], int) else pad
-            if isinstance(ph, int):
-                pad = ((ph, ph), (pw, pw))
-        return fnn.Conv(
-            features=self.features,
-            kernel_size=ks,
-            strides=st,
-            padding=pad,
-            kernel_dilation=di,
-            feature_group_count=self.groups,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            kernel_init=self.kernel_init,
-        )(x)
+def Conv2d(features: int,
+           kernel_size: Union[int, Tuple[int, int]] = 1,
+           stride: Union[int, Tuple[int, int]] = 1,
+           padding: Union[int, str, Tuple[int, int], None] = None,
+           dilation: Union[int, Tuple[int, int]] = 1,
+           groups: int = 1,
+           use_bias: bool = False,
+           dtype: Optional[Dtype] = None,
+           kernel_init: Callable = kaiming_normal_out,
+           name: Optional[str] = None) -> fnn.Conv:
+    """NHWC conv factory with torch-style default padding."""
+    return fnn.Conv(
+        features=features,
+        kernel_size=to_2tuple(kernel_size),
+        strides=to_2tuple(stride),
+        padding=normalize_padding(padding, kernel_size, stride, dilation),
+        kernel_dilation=to_2tuple(dilation),
+        feature_group_count=groups,
+        use_bias=use_bias,
+        dtype=dtype,
+        kernel_init=kernel_init,
+        name=name,
+    )
 
 
 class ConvBnAct(fnn.Module):
@@ -109,11 +101,12 @@ class ConvBnAct(fnn.Module):
 
     @fnn.compact
     def __call__(self, x, training: bool = False):
+        from cotnet_tpu.nn.norm import batch_norm
         x = Conv2d(self.features, self.kernel_size, self.stride, self.padding,
                    self.dilation, self.groups, dtype=self.dtype, name="conv")(x)
         if self.use_bn:
-            x = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
-                          name="bn")(x, training=training)
+            x = batch_norm(x, training, name="bn", dtype=self.dtype,
+                           axis_name=self.axis_name)
         if self.act:
             x = get_act_fn(self.act)(x)
         return x
@@ -152,7 +145,6 @@ class StdConv2d(fnn.Module):
         bias = (self.param("bias", fnn.initializers.zeros, (self.features,),
                            jnp.float32) if self.use_bias else None)
         dtype = self.dtype or x.dtype
-        import jax.lax as lax
         y = lax.conv_general_dilated(
             x.astype(dtype), kernel.astype(dtype),
             window_strides=st,

@@ -25,23 +25,23 @@ import jax.numpy as jnp
 from flax import linen as fnn
 
 
-class BatchNorm(fnn.Module):
-    """Torch-flavored BatchNorm2d over NHWC; cross-replica when axis_name set."""
-
-    momentum: float = 0.9
-    epsilon: float = 1e-5
-    dtype: Optional[jnp.dtype] = None
-    axis_name: Optional[str] = None
-
-    @fnn.compact
-    def __call__(self, x, training: bool = False):
-        return fnn.BatchNorm(
-            use_running_average=not training,
-            momentum=self.momentum,
-            epsilon=self.epsilon,
-            dtype=self.dtype,
-            axis_name=self.axis_name if training else None,
-        )(x)
+def batch_norm(x, training: bool, name: str, momentum: float = 0.9,
+               epsilon: float = 1e-5, dtype=None, axis_name=None,
+               scale_init=fnn.initializers.ones):
+    """Torch-flavored BatchNorm2d over NHWC (eps 1e-5, running momentum 0.1
+    -> flax momentum 0.9); cross-replica when axis_name is set (only
+    meaningful under shard_map/pmap — under GSPMD jit the stats are global
+    already).  A helper fn (not a wrapper Module) so parameter paths stay
+    flat: ``<name>/{scale,bias}`` + batch_stats ``<name>/{mean,var}``."""
+    return fnn.BatchNorm(
+        use_running_average=not training,
+        momentum=momentum,
+        epsilon=epsilon,
+        dtype=dtype,
+        scale_init=scale_init,
+        axis_name=axis_name if training else None,
+        name=name,
+    )(x)
 
 
 class SubChannelGroupNorm(fnn.Module):

@@ -15,7 +15,7 @@ from flax import linen as fnn
 
 from cotnet_tpu.nn.activations import get_act_fn
 from cotnet_tpu.nn.conv import Conv2d
-from cotnet_tpu.nn.norm import BatchNorm
+from cotnet_tpu.nn.norm import batch_norm
 
 
 def radix_softmax(x, radix: int, cardinality: int):
@@ -54,8 +54,7 @@ class SplitAttnConv2d(fnn.Module):
                    self.dilation, self.groups * self.radix, dtype=self.dtype,
                    name="conv")(x)
         if self.use_bn:
-            x = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
-                          name="bn0")(x, training=training)
+            x = batch_norm(x, training, name="bn0", dtype=self.dtype, axis_name=self.axis_name)
         if drop_block is not None:
             x = drop_block(x, training=training)
         x = get_act_fn(self.act)(x)
@@ -71,9 +70,8 @@ class SplitAttnConv2d(fnn.Module):
         gap = jnp.mean(gap, axis=(1, 2))  # [N, C']
         gap = fnn.Dense(attn_chs, dtype=self.dtype, name="fc1")(gap)
         if self.use_bn:
-            gap = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
-                            name="bn1")(gap[:, None, None, :],
-                                        training=training)[:, 0, 0, :]
+            gap = batch_norm(gap, training, name="bn1", dtype=self.dtype,
+                             axis_name=self.axis_name)
         gap = get_act_fn(self.act)(gap)
         attn = fnn.Dense(mid, dtype=self.dtype, name="fc2")(gap)
         attn = radix_softmax(attn, self.radix, self.groups)

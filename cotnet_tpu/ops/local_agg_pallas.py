@@ -45,21 +45,32 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _tiled_bytes(shape, itemsize) -> int:
+    """VMEM footprint of a [1, H, W, C] block after (sublane, lane) tiling:
+    W rounds to the dtype's sublane count, C to 128 lanes."""
+    _, h, w, c = shape
+    sublane = {4: 8, 2: 16, 1: 32}.get(itemsize, 8)
+    w_pad = -(-w // sublane) * sublane
+    c_pad = -(-c // 128) * 128
+    return h * w_pad * c_pad * itemsize
+
+
 def fits_vmem(xp_shape, w_shape, itemsize) -> bool:
-    """Whether one image (+ weight + output + f32 scratch) fits the budget.
+    """Whether one image (+ weight + output + f32 scratch) fits the budget,
+    counting tile padding and the pipeline's double buffering.
 
     The kernels hold one image per grid step: blocks with a >1 leading batch
     dim make Mosaic unroll over it and blow up compile time, and one image per
     step already pipelines DMA fully.  Callers fall back to the XLA
-    formulation when this returns False (only reachable far above the CoT
-    model family's feature-map sizes).
+    formulation when this returns False.
     """
-    _, hp, wp, c = xp_shape
+    n, hp, wp, c = xp_shape
     _, ho, wo, heads, k2, cw = w_shape
-    per_image = (hp * wp * c * (itemsize + 4)  # input + f32 scratch (dx)
-                 + ho * wo * heads * k2 * cw * itemsize
-                 + ho * wo * heads * c * itemsize)
-    return per_image <= _VMEM_BUDGET_BYTES
+    bufs = (_tiled_bytes((1, hp, wp, c), itemsize)
+            + _tiled_bytes((1, ho, wo, heads * k2 * cw), itemsize)
+            + _tiled_bytes((1, ho, wo, heads * c), itemsize))
+    scratch = _tiled_bytes((1, hp, wp, c), 4)  # dx f32 accumulator
+    return 2 * bufs + scratch <= _VMEM_BUDGET_BYTES
 
 
 def _fwd_kernel(xp_ref, w_ref, out_ref, *, kh, kw, dh, dw, heads, k2, g, cw, ho, wo, c):

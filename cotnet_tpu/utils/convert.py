@@ -1,0 +1,203 @@
+"""PyTorch .pth(.tar) checkpoint -> flax variables converter.
+
+Covers the reference's published checkpoints (CoTNet/CoTNeXt/SE-CoTNetD on
+the timm ResNet chassis) and the reference's own load conventions
+(models/helpers.py:23-43: 'module.' prefix strip, EMA key select
+'state_dict_ema').
+
+Layout transforms:
+- conv OIHW -> HWIO; linear [O,I] -> [I,O]; 1x1-conv-as-linear squeeze+T;
+- BatchNorm weight/bias -> scale/bias, running stats -> batch_stats;
+- the CoT attention-embed producer (embed.3 conv + embed.4 GroupNorm):
+  output channels are permuted cw-major -> k-major to match the TPU weight
+  layout (see ops/local_agg.py docstring), per dw_group for CoXt.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+# flax stem names for the deep (3-conv) stem -> torch Sequential indices
+_DEEP_STEM = {"conv1_0": "conv1.0", "bn1_0": "conv1.1",
+              "conv1_1": "conv1.3", "bn1_1": "conv1.4",
+              "conv1_2": "conv1.6"}
+
+# CotLayer submodule names -> torch Sequential paths (models/cotnet.py:43-77)
+_COT = {"key_embed_conv": "key_embed.0", "key_embed_bn": "key_embed.1",
+        "embed_conv1": "embed.0", "embed_bn1": "embed.1",
+        "embed_conv2": "embed.3", "embed_gn": "embed.4",
+        "conv1x1_conv": "conv1x1.0", "conv1x1_bn": "conv1x1.1",
+        "bn": "bn", "se_fc1": "se.0", "se_bn": "se.1", "se_fc2": "se.3"}
+
+# SEModule / SplitAttn children (fc1, fc2, bn0, bn1, conv, ...) pass through
+# unchanged — their flax names match the torch attribute names.
+
+
+def load_torch_checkpoint(path: str, use_ema: bool = False) -> Dict[str, np.ndarray]:
+    """Read a torch checkpoint file into {name: ndarray}, handling the
+    reference's dict layout + 'module.' strip (helpers.py:23-43)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt
+    if isinstance(ckpt, dict) and not hasattr(ckpt, "keys"):
+        sd = ckpt
+    if isinstance(ckpt, dict):
+        key = "state_dict_ema" if use_ema and "state_dict_ema" in ckpt else (
+            "state_dict" if "state_dict" in ckpt else None)
+        if key is not None:
+            sd = ckpt[key]
+        elif "model" in ckpt:
+            sd = ckpt["model"]
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+def _kmajor_perm(n: int, k2: int, groups: int = 1) -> np.ndarray:
+    """Channel permutation cw-major -> k-major, per group.
+
+    torch channel (within group) = cw * k2 + k; ours = k * cw_g + cw."""
+    per = n // groups
+    cw_g = per // k2
+    perm = []
+    for g in range(groups):
+        base = g * per
+        for k in range(k2):
+            for cw in range(cw_g):
+                perm.append(base + cw * k2 + k)
+    return np.asarray(perm)
+
+
+def _to_torch_key(parts, avg_down: bool) -> Optional[str]:
+    """flax path components (minus leaf) -> torch module path."""
+    out = []
+    i = 0
+    n = len(parts)
+    while i < n:
+        p = parts[i]
+        if i == 0 and p in _DEEP_STEM:
+            out.append(_DEEP_STEM[p])
+        elif i == 0 and p.startswith("layer") and "_" in p:
+            stage, blk = p.split("_", 1)
+            out.append(f"{stage}.{blk}")
+        elif p == "head":
+            pass  # head/fc -> fc
+        elif p == "downsample":
+            nxt = parts[i + 1]
+            idx = {"conv": 1, "bn": 2} if avg_down else {"conv": 0, "bn": 1}
+            out.append(f"downsample.{idx[nxt]}")
+            i += 2
+            continue
+        elif p in _COT:
+            out.append(_COT[p])
+        elif p == "stem_aa" or p == "aa" or p == "avd":
+            return None  # BlurPool: no params on either side
+        else:
+            out.append(p)
+        i += 1
+    return ".".join(out)
+
+
+def convert_torch_state_dict(
+    sd: Dict[str, np.ndarray],
+    flax_variables: Any,
+    *,
+    avg_down: bool = False,
+    dw_group: int = 1,
+    kernel_size: int = 3,
+    strict: bool = True,
+) -> Dict[str, Any]:
+    """Map a torch state_dict onto the flax variable structure.
+
+    ``flax_variables``: {params, batch_stats} tree (shapes only is fine,
+    e.g. from jax.eval_shape) used as the target structure.
+    """
+    k2 = kernel_size * kernel_size
+    out_params = {}
+    out_stats = {}
+    missing = []
+
+    def fetch(tkey):
+        if tkey in sd:
+            return np.asarray(sd[tkey])
+        missing.append(tkey)
+        return None
+
+    flat_p = flatten_dict(flax_variables["params"])
+    flat_b = flatten_dict(flax_variables.get("batch_stats", {}))
+
+    for path, ref in flat_p.items():
+        parts, leaf = list(path[:-1]), path[-1]
+        tmod = _to_torch_key(parts, avg_down)
+        if tmod is None:
+            continue
+        is_embed_producer = parts and parts[-1] in ("embed_conv2", "embed_gn")
+        val = None
+        if leaf == "kernel":
+            w = fetch(f"{tmod}.weight")
+            if w is None:
+                continue
+            if w.ndim == 4 and len(ref.shape) == 2:
+                # 1x1 conv used as linear (CoT se / SplitAttn fc / SE fc)
+                val = w[:, :, 0, 0].T
+            elif w.ndim == 4:
+                val = np.transpose(w, (2, 3, 1, 0))
+                if is_embed_producer:
+                    val = val[..., _kmajor_perm(val.shape[-1], k2, dw_group)]
+            elif w.ndim == 3:  # eca conv1d [1,1,k] -> [k,1,1]
+                val = np.transpose(w, (2, 1, 0))
+            else:  # linear
+                val = w.T
+        elif leaf == "scale":
+            v = fetch(f"{tmod}.weight")
+            if v is None:
+                continue
+            val = v[_kmajor_perm(v.shape[0], k2, dw_group)] if is_embed_producer else v
+        elif leaf == "bias":
+            v = fetch(f"{tmod}.bias")
+            if v is None:
+                continue
+            val = v[_kmajor_perm(v.shape[0], k2, dw_group)] if is_embed_producer else v
+        else:
+            raise ValueError(f"unknown param leaf {leaf} at {path}")
+        if tuple(val.shape) != tuple(ref.shape):
+            raise ValueError(
+                f"shape mismatch at {'/'.join(map(str, path))}: torch {val.shape} "
+                f"vs flax {tuple(ref.shape)} (torch key {tmod})")
+        out_params[path] = val.astype(np.float32)
+
+    for path, ref in flat_b.items():
+        parts, leaf = list(path[:-1]), path[-1]
+        tmod = _to_torch_key(parts, avg_down)
+        if tmod is None:
+            continue
+        tkey = f"{tmod}.running_{'mean' if leaf == 'mean' else 'var'}"
+        v = fetch(tkey)
+        if v is None:
+            continue
+        if tuple(v.shape) != tuple(ref.shape):
+            raise ValueError(f"shape mismatch at {path}: {v.shape} vs {ref.shape}")
+        out_stats[path] = v.astype(np.float32)
+
+    if strict and missing:
+        raise KeyError(f"{len(missing)} torch keys missing, first 10: "
+                       f"{missing[:10]}")
+    return {"params": unflatten_dict(out_params),
+            "batch_stats": unflatten_dict(out_stats)}
+
+
+def convert_torch_checkpoint(path: str, flax_variables, model_name: str = "",
+                             use_ema: bool = False, strict: bool = True):
+    """File-level convenience: torch .pth.tar -> flax variables."""
+    sd = load_torch_checkpoint(path, use_ema=use_ema)
+    avg_down = "cotnetd" in model_name or model_name.endswith("d")
+    dw_group = 2 if "cotnext" in model_name else 1
+    return convert_torch_state_dict(sd, flax_variables, avg_down=avg_down,
+                                    dw_group=dw_group, strict=strict)

@@ -1,0 +1,178 @@
+"""Checkpoint-converter parity tests.
+
+Since the reference's CUDA kernels can't run here (no GPU/cupy), the oracle
+is a fresh torch-CPU implementation of the CoT block written below from the
+block's published math (grouped key embed -> attention embed w/ GroupNorm ->
+1x1 value -> unfold-based local aggregation -> radix-2 SE fusion), using the
+reference's *module naming* so its state_dict looks exactly like a published
+checkpoint slice.  Converting that state_dict and comparing flax vs torch
+outputs end-to-end validates every layout transform (OIHW->HWIO, the
+cw-major->k-major attention-channel permutation, GroupNorm grouping, BN
+stats, 1x1-conv->Dense).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+from torch import nn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from cotnet_tpu.models.cotnet import CotLayer  # noqa: E402
+from cotnet_tpu.utils.convert import (  # noqa: E402
+    convert_torch_state_dict,
+    load_torch_checkpoint,
+)
+
+
+class TorchCotOracle(nn.Module):
+    """CoT block oracle on CPU (naming matches reference cotnet.py:36-104)."""
+
+    def __init__(self, dim, ks=3):
+        super().__init__()
+        self.dim, self.ks = dim, ks
+        share, factor, radix = 8, 2, 2
+        self.key_embed = nn.Sequential(
+            nn.Conv2d(dim, dim, ks, padding=ks // 2, groups=4, bias=False),
+            nn.BatchNorm2d(dim), nn.ReLU())
+        self.embed = nn.Sequential(
+            nn.Conv2d(2 * dim, dim // factor, 1, bias=False),
+            nn.BatchNorm2d(dim // factor), nn.ReLU(),
+            nn.Conv2d(dim // factor, ks * ks * dim // share, 1),
+            nn.GroupNorm(dim // share, ks * ks * dim // share))
+        self.conv1x1 = nn.Sequential(
+            nn.Conv2d(dim, dim, 1, bias=False), nn.BatchNorm2d(dim))
+        self.bn = nn.BatchNorm2d(dim)
+        attn_chs = max(dim * radix // 4, 32)
+        self.se = nn.Sequential(
+            nn.Conv2d(dim, attn_chs, 1), nn.BatchNorm2d(attn_chs), nn.ReLU(),
+            nn.Conv2d(attn_chs, radix * dim, 1))
+
+    def forward(self, x):
+        dim, ks = self.dim, self.ks
+        cw = dim // 8
+        k = self.key_embed(x)
+        w = self.embed(torch.cat([x, k], dim=1))
+        b, _, hh, ww = w.shape
+        w = w.view(b, 1, cw, ks * ks, hh, ww)
+
+        v = self.conv1x1(x)
+        # unfold-based local aggregation (the reference's oracle form)
+        patches = F.unfold(v, ks, padding=ks // 2).view(
+            b, dim // cw, cw, ks * ks, hh, ww)
+        y = (w.unsqueeze(2) * patches.unsqueeze(1)).sum(-3).view(b, dim, hh, ww)
+        y = self.bn(y)
+        y = y * torch.sigmoid(y)  # swish
+
+        gap = (y + k).mean((2, 3), keepdim=True)
+        a = self.se(gap).view(b, dim, 2)
+        a = F.softmax(a, dim=2)
+        return y * a[:, :, 0, None, None] + k * a[:, :, 1, None, None]
+
+
+def _randomize_bn_stats(module, rng):
+    for m in module.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            m.running_mean.copy_(torch.tensor(
+                rng.randn(*m.running_mean.shape), dtype=torch.float32) * 0.1)
+            m.running_var.copy_(torch.tensor(
+                rng.rand(*m.running_var.shape) + 0.5, dtype=torch.float32))
+
+
+def test_cot_layer_conversion_parity():
+    dim = 32
+    rng = np.random.RandomState(0)
+    oracle = TorchCotOracle(dim)
+    with torch.no_grad():
+        _randomize_bn_stats(oracle, rng)
+    oracle.eval()
+
+    x = rng.randn(2, dim, 9, 9).astype(np.float32)
+    with torch.no_grad():
+        y_t = oracle(torch.tensor(x)).numpy()  # NCHW
+
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+
+    model = CotLayer(dim=dim, kernel_size=3)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    shapes = jax.eval_shape(
+        lambda r, x: model.init({"params": r}, x, training=False),
+        jax.random.PRNGKey(0), x_nhwc)
+    variables = convert_torch_state_dict(sd, shapes, strict=True)
+    y_j = model.apply(variables, x_nhwc, training=False)
+    y_j_nchw = np.transpose(np.asarray(y_j), (0, 3, 1, 2))
+    np.testing.assert_allclose(y_j_nchw, y_t, rtol=2e-4, atol=2e-4)
+
+
+def test_resnet_block_conversion_parity():
+    """Classic bottleneck (conv/bn/SE/downsample) torch -> flax parity."""
+    import cotnet_tpu.models.resnet as R
+
+    planes, inplanes = 16, 32
+
+    class TorchBottleneck(nn.Module):
+        def __init__(self):
+            super().__init__()
+            width = planes
+            out = planes * 4
+            self.conv1 = nn.Conv2d(inplanes, width, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(width)
+            self.conv2 = nn.Conv2d(width, width, 3, stride=2, padding=1,
+                                   bias=False)
+            self.bn2 = nn.BatchNorm2d(width)
+            self.conv3 = nn.Conv2d(width, out, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(out)
+            self.se = nn.Module()
+            self.se.fc1 = nn.Conv2d(out, max(out // 16, 8), 1)
+            self.se.fc2 = nn.Conv2d(max(out // 16, 8), out, 1)
+            self.downsample = nn.Sequential(
+                nn.Conv2d(inplanes, out, 1, stride=2, bias=False),
+                nn.BatchNorm2d(out))
+
+        def forward(self, x):
+            r = x
+            y = F.relu(self.bn1(self.conv1(x)))
+            y = F.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            s = y.mean((2, 3), keepdim=True)
+            s = self.se.fc2(F.relu(self.se.fc1(s)))
+            y = y * torch.sigmoid(s)
+            return F.relu(y + self.downsample(r))
+
+    rng = np.random.RandomState(1)
+    t = TorchBottleneck()
+    with torch.no_grad():
+        _randomize_bn_stats(t, rng)
+    t.eval()
+    x = rng.randn(2, inplanes, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        y_t = t(torch.tensor(x)).numpy()
+
+    sd = {k: v.numpy() for k, v in t.state_dict().items()}
+    block = R.Bottleneck(planes=planes, stride=2,
+                         downsample=dict(stride=2, avg=False),
+                         attn_layer="se", zero_init_last_bn=False)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    shapes = jax.eval_shape(
+        lambda r, x: block.init({"params": r}, x, training=False),
+        jax.random.PRNGKey(0), x_nhwc)
+    variables = convert_torch_state_dict(sd, shapes, strict=True)
+    y_j = block.apply(variables, x_nhwc, training=False)
+    y_j_nchw = np.transpose(np.asarray(y_j), (0, 3, 1, 2))
+    np.testing.assert_allclose(y_j_nchw, y_t, rtol=2e-4, atol=2e-4)
+
+
+def test_load_torch_checkpoint_conventions(tmp_path):
+    """'module.' strip + state_dict / state_dict_ema selection
+    (helpers.py:23-43)."""
+    sd = {"module.w": torch.ones(2), "module.b": torch.zeros(3)}
+    ema = {"module.w": torch.full((2,), 2.0), "module.b": torch.ones(3)}
+    path = str(tmp_path / "ckpt.pth.tar")
+    torch.save({"state_dict": sd, "state_dict_ema": ema, "epoch": 7}, path)
+    plain = load_torch_checkpoint(path)
+    assert set(plain) == {"w", "b"} and plain["w"][0] == 1.0
+    emad = load_torch_checkpoint(path, use_ema=True)
+    assert emad["w"][0] == 2.0
