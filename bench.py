@@ -24,7 +24,13 @@ def _zeros_like_tree(tree_shapes):
     return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), tree_shapes)
 
 
-def build(model_name: str, batch: int, size: int, impl: str, dtype):
+def build(model_name: str, batch: int, size: int, impl: str, dtype,
+          iters: int):
+    """Chained-iteration forward: each step's input depends on the previous
+    step's output, so ``iters`` executions are provably serialized on-device
+    regardless of dispatch/caching behavior in the runtime tunnel."""
+    from jax import lax
+
     from cotnet_tpu.models import create_model
 
     model = create_model(model_name, dtype=dtype, block_args=dict(impl=impl))
@@ -35,32 +41,38 @@ def build(model_name: str, batch: int, size: int, impl: str, dtype):
     variables = _zeros_like_tree(shapes)
 
     @jax.jit
-    def fwd(v, x):
-        return model.apply(v, x, training=False)
+    def chained(v, x):
+        def body(i, carry):
+            y = model.apply(v, carry, training=False)
+            # fold-proof dependency: the compiler can't prove sum(y) is not
+            # NaN, so the next iteration's input depends on this forward
+            eps = jnp.where(jnp.isnan(jnp.sum(y.astype(jnp.float32))),
+                            1.0, 0.0).astype(carry.dtype)
+            return carry + eps
+        return lax.fori_loop(0, iters, body, x)
 
-    return fwd, variables, x
+    return chained, variables, x
 
 
-def timeit(fwd, variables, x, iters=30, warmup=5):
-    for _ in range(warmup):
-        y = fwd(variables, x)
-    jax.block_until_ready(y)
+def timeit(chained, variables, x, iters):
+    # fetch one element to host — a transfer cannot complete before the
+    # computation does, which makes the timing robust to any runtime that
+    # acks block_until_ready early
+    np.asarray(chained(variables, x)[0, 0, 0, 0])  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        y = fwd(variables, x)
-    jax.block_until_ready(y)
+    np.asarray(chained(variables, x)[0, 0, 0, 0])
     return (time.perf_counter() - t0) / iters
 
 
 def main():
-    batch, size = 128, 224
+    batch, size, iters = 128, 224, 20
     dtype = jnp.bfloat16
 
-    fwd_p, v_p, x_p = build("cotnet50", batch, size, "pallas", dtype)
-    dt_pallas = timeit(fwd_p, v_p, x_p)
+    fwd_p, v_p, x_p = build("cotnet50", batch, size, "pallas", dtype, iters)
+    dt_pallas = timeit(fwd_p, v_p, x_p, iters)
 
-    fwd_x, v_x, x_x = build("cotnet50", batch, size, "xla", dtype)
-    dt_xla = timeit(fwd_x, v_x, x_x)
+    fwd_x, v_x, x_x = build("cotnet50", batch, size, "xla", dtype, iters)
+    dt_xla = timeit(fwd_x, v_x, x_x, iters)
 
     ips = batch / dt_pallas
     ips_xla = batch / dt_xla

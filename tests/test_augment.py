@@ -1,0 +1,127 @@
+"""Aug parity: jnp RandAugment ops vs PIL (the reference's backend).
+
+SURVEY.md flags aug parity as a hard part — interpolation/LUT differences
+shift top-1 a few tenths.  Each deterministic op is compared against the PIL
+call the reference makes (rand_augment.py:80-186); geometric ops compare at
+bilinear resampling with fill=128.
+"""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("PIL")
+from PIL import Image, ImageEnhance, ImageOps  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import cotnet_tpu.data.rand_augment as ra  # noqa: E402
+
+
+def _img(seed=0, h=17, w=23):
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    return arr, Image.fromarray(arr)
+
+
+def _close(jnp_out, pil_img, atol=1.01, frac=1.0):
+    ours = np.asarray(jnp_out)
+    ref = np.asarray(pil_img, dtype=np.float32)
+    diff = np.abs(ours - ref)
+    ok = (diff <= atol).mean()
+    assert ok >= frac, f"match fraction {ok:.4f}, max diff {diff.max()}"
+
+
+def test_invert_posterize_solarize():
+    arr, im = _img()
+    x = jnp.asarray(arr, jnp.float32)
+    _close(ra.invert(x), ImageOps.invert(im), atol=0.01)
+    for bits in (1, 3, 6, 8):
+        _close(ra.posterize(x, jnp.asarray(bits)),
+               ImageOps.posterize(im, bits) if bits < 8 else im, atol=0.01)
+    for thresh in (0, 128, 200, 256):
+        _close(ra.solarize(x, float(thresh)), ImageOps.solarize(im, thresh),
+               atol=0.01)
+
+
+def test_solarize_add():
+    arr, im = _img(1)
+    x = jnp.asarray(arr, jnp.float32)
+    add = 93
+    lut = [min(255, i + add) if i < 128 else i for i in range(256)]
+    ref = im.point(lut * 3)
+    _close(ra.solarize_add(x, float(add)), ref, atol=0.01)
+
+
+def test_autocontrast_equalize():
+    arr, im = _img(2)
+    x = jnp.asarray(arr, jnp.float32)
+    _close(ra.autocontrast(x), ImageOps.autocontrast(im), atol=1.01)
+    _close(ra.equalize(x), ImageOps.equalize(im), atol=1.01)
+
+
+@pytest.mark.parametrize("factor", [0.1, 0.9, 1.7, 2.8])
+def test_enhance_ops(factor):
+    arr, im = _img(3)
+    x = jnp.asarray(arr, jnp.float32)
+    _close(ra.brightness(x, factor), ImageEnhance.Brightness(im).enhance(factor),
+           atol=1.01)
+    _close(ra.color(x, factor), ImageEnhance.Color(im).enhance(factor),
+           atol=1.01, frac=0.99)
+    _close(ra.contrast(x, factor), ImageEnhance.Contrast(im).enhance(factor),
+           atol=1.01, frac=0.99)
+    _close(ra.sharpness(x, factor), ImageEnhance.Sharpness(im).enhance(factor),
+           atol=1.51, frac=0.98)
+
+
+@pytest.mark.parametrize("op,args,pil_fn", [
+    ("shear_x", (0.3,), lambda im: im.transform(
+        im.size, Image.AFFINE, (1, 0.3, 0, 0, 1, 0),
+        resample=Image.BILINEAR, fillcolor=(128, 128, 128))),
+    ("shear_y", (-0.25,), lambda im: im.transform(
+        im.size, Image.AFFINE, (1, 0, 0, -0.25, 1, 0),
+        resample=Image.BILINEAR, fillcolor=(128, 128, 128))),
+    ("translate_x", (5.0,), lambda im: im.transform(
+        im.size, Image.AFFINE, (1, 0, 5, 0, 1, 0),
+        resample=Image.BILINEAR, fillcolor=(128, 128, 128))),
+    ("translate_y", (-3.0,), lambda im: im.transform(
+        im.size, Image.AFFINE, (1, 0, 0, 0, 1, -3),
+        resample=Image.BILINEAR, fillcolor=(128, 128, 128))),
+    ("rotate", (30.0,), lambda im: im.rotate(
+        30.0, resample=Image.BILINEAR, fillcolor=(128, 128, 128))),
+])
+def test_geometric_ops(op, args, pil_fn):
+    arr, im = _img(4, h=24, w=24)
+    x = jnp.asarray(arr, jnp.float32)
+    ours = getattr(ra, op)(x, *args)
+    # bilinear rounding at borders differs by ±1; require 97% of pixels
+    # within 2 levels
+    _close(ours, pil_fn(im), atol=2.01, frac=0.97)
+
+
+def test_randaugment_pipeline_runs():
+    aug = ra.rand_augment_transform("rand-m15-mstd0.5-n2")
+    batch = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (4, 32, 32, 3)), jnp.float32)
+    out = jax.jit(aug)(jax.random.PRNGKey(0), batch)
+    assert out.shape == batch.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert float(jnp.max(out)) <= 255.0 + 1e-3
+    # different keys give different augs
+    out2 = jax.jit(aug)(jax.random.PRNGKey(1), batch)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_random_erasing_modes():
+    from cotnet_tpu.data.random_erasing import RandomErasing
+
+    batch = jnp.ones((8, 16, 16, 3), jnp.float32)
+    for mode in ("const", "rand", "pixel"):
+        re_ = RandomErasing(probability=1.0, mode=mode, count=2)
+        out = jax.jit(re_)(jax.random.PRNGKey(0), batch)
+        assert out.shape == batch.shape
+        changed = np.mean(np.asarray(out) != 1.0)
+        assert changed > 0.01, f"{mode}: nothing erased"
+    # probability 0 -> identity
+    re0 = RandomErasing(probability=0.0)
+    assert re0(jax.random.PRNGKey(0), batch) is batch

@@ -1,0 +1,106 @@
+"""Dataset + loader tests: folder walk / class index (dataset.py parity),
+tar dataset, train/eval loaders with device augmentation, pad-and-mask eval
+batches, deterministic per-epoch shuffling."""
+
+import os
+import tarfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+from cotnet_tpu.data.dataset import AugMixDataset, ImageFolderDataset, TarDataset  # noqa: E402
+from cotnet_tpu.data.loader import Loader, SyntheticLoader, make_device_augment  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def image_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    for cls in ["class_b", "class_a", "class_c10", "class_c2"]:
+        d = root / cls
+        d.mkdir()
+        for i in range(5):
+            arr = rng.randint(0, 255, (40 + i, 50, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"img{i}.png")
+    return str(root)
+
+
+def test_folder_dataset(image_tree):
+    ds = ImageFolderDataset(image_tree)
+    assert len(ds) == 20
+    # natural sort: class_c2 before class_c10 (dataset.py natural_key)
+    assert list(ds.class_to_idx) == ["class_a", "class_b", "class_c2",
+                                     "class_c10"]
+    img, target = ds[0]
+    assert img.mode == "RGB" and 0 <= target < 4
+    assert ds.filename(0, basename=True).endswith(".png")
+
+
+def test_tar_dataset(image_tree, tmp_path):
+    tar_path = str(tmp_path / "data.tar")
+    with tarfile.open(tar_path, "w") as tf:
+        tf.add(image_tree, arcname=".")
+    ds = TarDataset(tar_path)
+    assert len(ds) == 20
+    img, target = ds[0]
+    assert img.mode == "RGB"
+
+
+def test_augmix_dataset(image_tree):
+    ds = AugMixDataset(ImageFolderDataset(image_tree), num_splits=3)
+    views, target = ds[0]
+    assert len(views) == 3
+
+
+def test_train_loader(image_tree):
+    ds = ImageFolderDataset(image_tree)
+    loader = Loader(ds, batch_size=8, train=True, image_size=32, workers=2,
+                    auto_augment="rand-m9-n1", reprob=0.3, seed=1)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 2  # drop_last
+    b = batches[0]
+    assert b["image"].shape == (8, 32, 32, 3)
+    assert b["image"].dtype == jnp.float32
+    assert b["label"].shape == (8,)
+    # normalized data should be roughly centered
+    assert abs(float(jnp.mean(b["image"]))) < 3.0
+
+    # deterministic per-epoch shuffle; different epochs differ
+    l0a = [np.asarray(x["label"]) for x in loader]
+    loader.set_epoch(0)
+    l0b = [np.asarray(x["label"]) for x in loader]
+    np.testing.assert_array_equal(np.stack(l0a), np.stack(l0b))
+    loader.set_epoch(1)
+    l1 = [np.asarray(x["label"]) for x in loader]
+    assert not np.array_equal(np.stack(l0a), np.stack(l1))
+
+
+def test_eval_loader_pads_and_masks(image_tree):
+    ds = ImageFolderDataset(image_tree)
+    loader = Loader(ds, batch_size=16, train=False, image_size=32, workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[1]["image"].shape == (16, 32, 32, 3)
+    assert float(jnp.sum(batches[1]["valid"])) == 4.0  # 20 - 16
+    assert float(jnp.sum(batches[0]["valid"])) == 16.0
+
+
+def test_synthetic_loader():
+    loader = SyntheticLoader(batch_size=4, image_size=16, num_classes=10,
+                             steps=3)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["image"].shape == (4, 16, 16, 3)
+
+
+def test_device_augment_normalizes():
+    aug = make_device_augment()
+    batch = jnp.full((2, 8, 8, 3), 128, jnp.uint8)
+    out = aug(jax.random.PRNGKey(0), batch)
+    # (128 - 255*mean) / (255*std) for channel 0: (128-123.675)/58.395
+    np.testing.assert_allclose(np.asarray(out[0, 0, 0, 0]), 0.0740, atol=1e-3)
