@@ -110,6 +110,35 @@ def _agg_core_xla(xp, w, kernel_size, stride, dilation):
     return out.reshape(n, ho, wo, heads * c).astype(xp.dtype)
 
 
+def extract_patches(x, kernel_size=3, stride=1, padding=None, dilation=1,
+                    pad_mode: str = "zeros"):
+    """K x K neighborhood patches: [N,H,W,C] -> [N,Ho,Wo,K*K,C].
+
+    The jnp analog of nn.Unfold as used by the reference's oracles and
+    LR-Net's key unfold (lr_net.py:75,85-86); taps ordered (kh, kw)."""
+    kernel_size = _pair(kernel_size)
+    stride = _pair(stride)
+    dilation = _pair(dilation)
+    if padding is None:
+        padding = tuple((d * (k - 1) + 1) // 2 for k, d in zip(kernel_size, dilation))
+    else:
+        padding = _pair(padding)
+    n, hi, wi, c = x.shape
+    ho = out_size(hi, kernel_size[0], stride[0], padding[0], dilation[0])
+    wo = out_size(wi, kernel_size[1], stride[1], padding[1], dilation[1])
+    xp = _pad_input(x, padding, dilation, pad_mode)
+    taps = []
+    for ikh in range(kernel_size[0]):
+        for ikw in range(kernel_size[1]):
+            h0, w0 = ikh * dilation[0], ikw * dilation[1]
+            taps.append(lax.slice(
+                xp, (0, h0, w0, 0),
+                (n, h0 + (ho - 1) * stride[0] + 1,
+                 w0 + (wo - 1) * stride[1] + 1, c),
+                (1, stride[0], stride[1], 1)))
+    return jnp.stack(taps, axis=3)
+
+
 def local_aggregate(
     x: jax.Array,
     w: jax.Array,

@@ -43,6 +43,22 @@ PARAM_PARITY = [
 ]
 
 
+@pytest.mark.parametrize("name,size", [
+    ("lrnet50", 64), ("lrnet50_ks3", 64), ("BoTNetS1_59", 64),
+    ("se_cotnetd_152", 64), ("cotnext50_2x48d", 64), ("seresnext50_32x4d", 64),
+    ("resnet18", 64), ("ecaresnet50d", 64),
+])
+def test_model_zoo_builds(name, size):
+    """Every registered family constructs and shape-checks."""
+    model = create_model(name, num_classes=7)
+    x = jnp.zeros((1, size, size, 3), jnp.float32)
+    vs = jax.eval_shape(
+        lambda r, x: model.init({"params": r}, x, training=False),
+        jax.random.PRNGKey(0), x)
+    out = jax.eval_shape(lambda v, x: model.apply(v, x, training=False), vs, x)
+    assert out.shape == (1, 7)
+
+
 @pytest.mark.parametrize("name,size,ref_m", PARAM_PARITY)
 def test_param_count_parity(name, size, ref_m):
     model = create_model(name)
