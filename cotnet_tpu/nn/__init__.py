@@ -19,6 +19,20 @@ from cotnet_tpu.nn.pool import (
     max_pool2d_same,
     median_pool2d,
 )
+from cotnet_tpu.nn.extra import (
+    CondConv2d,
+    EvoNorm2dB0,
+    EvoNorm2dS0,
+    Kerv2d,
+    MixedConv2d,
+    SelectiveKernelConv,
+    Shiftlution,
+    SpaceToDepth,
+    SplitBatchNorm,
+    TBConv,
+    space_to_depth,
+    test_time_pool,
+)
 from cotnet_tpu.nn.split_attn import SplitAttnConv2d, radix_softmax
 
 __all__ = [k for k in dir() if not k.startswith("_")]

@@ -1,0 +1,179 @@
+"""Layer-zoo unit tests: shapes, invariants, and semantics checks for the
+extended layers (reference models/layers/)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cotnet_tpu.nn import (
+    BlurPool2d,
+    CbamModule,
+    CondConv2d,
+    EcaModule,
+    EvoNorm2dB0,
+    EvoNorm2dS0,
+    Kerv2d,
+    MixedConv2d,
+    SEModule,
+    SelectiveKernelConv,
+    Shiftlution,
+    SpaceToDepth,
+    SplitAttnConv2d,
+    SplitBatchNorm,
+    TBConv,
+    avg_pool2d,
+    max_pool2d,
+    space_to_depth,
+)
+
+
+def _init_apply(mod, x, training=False, **kw):
+    vs = mod.init({"params": jax.random.PRNGKey(0)}, x, **kw)
+    return mod.apply(vs, x, **kw), vs
+
+
+def test_avg_pool_torch_semantics():
+    """count_include_pad / ceil_mode parity vs torch (values precomputed)."""
+    import torch
+    import torch.nn.functional as F
+
+    x = np.arange(36, dtype=np.float32).reshape(1, 1, 6, 6)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    for kwargs in [dict(kernel_size=3, stride=2, padding=1),
+                   dict(kernel_size=3, stride=2, padding=1,
+                        count_include_pad=False),
+                   dict(kernel_size=2, stride=2, ceil_mode=True,
+                        count_include_pad=False),
+                   dict(kernel_size=3, stride=3, padding=1, ceil_mode=True)]:
+        ref = F.avg_pool2d(torch.tensor(x), **kwargs).numpy()
+        ours = np.asarray(avg_pool2d(xj, **kwargs)).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours, ref, rtol=1e-6, err_msg=str(kwargs))
+
+
+def test_max_pool_torch_semantics():
+    import torch
+    import torch.nn.functional as F
+
+    x = np.random.RandomState(0).randn(1, 3, 7, 7).astype(np.float32)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    for kwargs in [dict(kernel_size=3, stride=2, padding=1),
+                   dict(kernel_size=2, stride=2, ceil_mode=True)]:
+        ref = F.max_pool2d(torch.tensor(x), **kwargs).numpy()
+        ours = np.asarray(max_pool2d(xj, **kwargs)).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours, ref, rtol=1e-6, err_msg=str(kwargs))
+
+
+def test_blur_pool_shape_and_smoothing():
+    x = jnp.zeros((1, 8, 8, 4)).at[:, 4, 4, :].set(1.0)
+    y, _ = _init_apply(BlurPool2d(filt_size=3, stride=2), x)
+    assert y.shape == (1, 4, 4, 4)
+    assert float(jnp.sum(y)) == pytest.approx(1.0, abs=1e-5)  # energy kept
+
+
+def test_attn_modules_shapes():
+    x = jnp.ones((2, 8, 8, 32))
+    for mod in (SEModule(32), EcaModule(32), CbamModule(32)):
+        y, _ = _init_apply(mod, x)
+        assert y.shape == x.shape
+
+
+def test_split_attn_radix1_is_sigmoid_gate():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16))
+    y, _ = _init_apply(SplitAttnConv2d(out_channels=16, kernel_size=3,
+                                       padding=1, radix=1), x)
+    assert y.shape == (2, 8, 8, 16)
+    y2, _ = _init_apply(SplitAttnConv2d(out_channels=16, kernel_size=3,
+                                        padding=1, radix=2), x)
+    assert y2.shape == (2, 8, 8, 16)
+
+
+def test_shiftlution_shifts_channels():
+    c, k = 18, 3
+    x = jnp.zeros((1, 5, 5, c)).at[:, 2, 2, :].set(1.0)
+    y, _ = _init_apply(Shiftlution(channels=c, kernel_h=k, kernel_w=k), x)
+    assert y.shape == x.shape
+    # first span (2 channels) is the zero shift -> unchanged
+    np.testing.assert_allclose(np.asarray(y[0, :, :, 0]),
+                               np.asarray(x[0, :, :, 0]))
+    # total mass preserved up to border clipping
+    assert float(jnp.sum(y)) <= float(jnp.sum(x)) + 1e-5
+
+
+def test_tbconv_matches_blockwise_conv():
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 6, 8))
+    mod = TBConv(out_channels=8, kernel_size=3, padding=1, blocks=2,
+                 use_bias=False)
+    y, vs = _init_apply(mod, x)
+    assert y.shape == (2, 6, 6, 8)
+    # applying the shared conv to each half separately must agree
+    import jax.lax as lax
+
+    kern = vs["params"]["conv"]["kernel"]
+    for half in range(2):
+        ref = lax.conv_general_dilated(
+            x[..., half * 4:(half + 1) * 4], kern, (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(y[..., half * 4:(half + 1) * 4]),
+                                   np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_kerv2d():
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 4, 8))
+    y, _ = _init_apply(Kerv2d(out_channels=6, power=3), x)
+    assert y.shape == (2, 4, 4, 6)
+
+
+def test_space_to_depth():
+    x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    y = space_to_depth(x, 4)
+    assert y.shape == (2, 2, 2, 48)
+    # (sh, sw, c)-major: first 3 channels = pixel (0,0) of the block
+    np.testing.assert_allclose(np.asarray(y[0, 0, 0, :3]),
+                               np.asarray(x[0, 0, 0, :]))
+    np.testing.assert_allclose(np.asarray(y[0, 0, 0, 3:6]),
+                               np.asarray(x[0, 0, 1, :]))
+
+
+def test_selective_kernel():
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 16))
+    y, _ = _init_apply(SelectiveKernelConv(out_channels=24), x,
+                       training=False)
+    assert y.shape == (2, 8, 8, 24)
+    y2, _ = _init_apply(SelectiveKernelConv(out_channels=24, split_input=True),
+                        x, training=False)
+    assert y2.shape == (2, 8, 8, 24)
+
+
+def test_evo_norms():
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, 32))
+    for mod in (EvoNorm2dB0(), EvoNorm2dS0()):
+        vs = mod.init({"params": jax.random.PRNGKey(0)}, x, training=True)
+        y = mod.apply(vs, x, training=False,
+                      mutable=False if "batch_stats" not in vs else False)
+        assert np.asarray(y).shape == x.shape
+
+
+def test_split_batchnorm():
+    x = jnp.concatenate([jnp.zeros((4, 4, 4, 8)), jnp.ones((4, 4, 4, 8))])
+    mod = SplitBatchNorm(num_splits=2)
+    vs = mod.init({"params": jax.random.PRNGKey(0)}, x, training=True)
+    y, new_vs = mod.apply(vs, x, training=True, mutable=["batch_stats"])
+    m0 = float(new_vs["batch_stats"]["bn_0"]["mean"][0])
+    m1 = float(new_vs["batch_stats"]["bn_1"]["mean"][0])
+    assert m0 != m1  # per-split statistics
+
+
+def test_cond_conv():
+    x = jax.random.normal(jax.random.PRNGKey(5), (3, 6, 6, 8))
+    y, _ = _init_apply(CondConv2d(out_channels=12, num_experts=3), x)
+    assert y.shape == (3, 6, 6, 12)
+
+
+def test_mixed_conv():
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 8, 8, 16))
+    y, _ = _init_apply(MixedConv2d(out_channels=16, kernel_sizes=(3, 5)), x)
+    assert y.shape == (2, 8, 8, 16)
+    y2, _ = _init_apply(MixedConv2d(out_channels=16, kernel_sizes=(3, 5, 7),
+                                    depthwise=True), x)
+    assert y2.shape == (2, 8, 8, 16)
