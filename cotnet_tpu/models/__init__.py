@@ -19,6 +19,7 @@ from cotnet_tpu.models import cotnet  # noqa: F401
 from cotnet_tpu.models import cotnet_hybrid  # noqa: F401
 from cotnet_tpu.models import lr_net  # noqa: F401
 from cotnet_tpu.models import resnet  # noqa: F401
+from cotnet_tpu.models import san  # noqa: F401
 
 from cotnet_tpu.models.cotnet import CotBottleneck, CotLayer, CoXtLayer
 from cotnet_tpu.models.cotnet_hybrid import CotHybridBottleneck
