@@ -123,7 +123,8 @@ class Loader:
                  mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD,
                  interpolation: str = "random", crop_pct: float = 0.875,
                  scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3), hflip: float = 0.5,
-                 vflip: float = 0.0, auto_augment: Optional[str] = None,
+                 vflip: float = 0.0, color_jitter: Optional[float] = 0.4,
+                 auto_augment: Optional[str] = None,
                  reprob: float = 0.0, remode: str = "pixel", recount: int = 1,
                  num_aug_splits: int = 0, dtype=jnp.float32, seed: int = 0,
                  mesh=None):
@@ -136,7 +137,8 @@ class Loader:
         self.mesh = mesh
         if train:
             dataset.transform = create_train_transform(
-                image_size, scale, ratio, hflip, vflip, interpolation)
+                image_size, scale, ratio, hflip, vflip, interpolation,
+                color_jitter=None if auto_augment else color_jitter)
             ra = (rand_augment_transform(auto_augment)
                   if auto_augment else None)
             re_ = (RandomErasing(reprob, mode=remode, count=recount,

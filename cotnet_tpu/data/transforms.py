@@ -120,6 +120,27 @@ class ResizeCenterCrop:
         return img.crop((left, top, left + self.size, top + self.size))
 
 
+class ColorJitter:
+    """Brightness/contrast/saturation jitter (the reference's non-AA branch,
+    transforms_factory.py:60-75: color_jitter=0.4 when no RandAugment)."""
+
+    def __init__(self, brightness=0.4, contrast=0.4, saturation=0.4):
+        self.params = [("Brightness", brightness), ("Contrast", contrast),
+                       ("Color", saturation)]
+
+    def __call__(self, img):
+        from PIL import ImageEnhance
+
+        order = list(range(len(self.params)))
+        random.shuffle(order)
+        for i in order:
+            name, amount = self.params[i]
+            if amount > 0:
+                factor = random.uniform(max(0.0, 1 - amount), 1 + amount)
+                img = getattr(ImageEnhance, name)(img).enhance(factor)
+        return img
+
+
 class ToUint8:
     """PIL -> uint8 numpy HWC (device does normalize — mirrors the
     reference's PrefetchLoader GPU normalize, loader.py:54-125)."""
@@ -140,12 +161,16 @@ class Compose:
 
 def create_train_transform(size: int, scale=(0.08, 1.0), ratio=(3/4, 4/3),
                            hflip: float = 0.5, vflip: float = 0.0,
-                           interpolation: str = "random"):
+                           interpolation: str = "random",
+                           color_jitter: Optional[float] = None):
     fns = [RandomResizedCropAndInterpolation(size, scale, ratio, interpolation)]
     if hflip > 0:
         fns.append(RandomHorizontalFlip(hflip))
     if vflip > 0:
         fns.append(RandomVerticalFlip(vflip))
+    if color_jitter:
+        # only when RandAugment is off (transforms_factory.py:86-98)
+        fns.append(ColorJitter(color_jitter, color_jitter, color_jitter))
     fns.append(ToUint8())
     return Compose(fns)
 

@@ -18,8 +18,11 @@ from cotnet_tpu.models import botnet  # noqa: F401
 from cotnet_tpu.models import cotnet  # noqa: F401
 from cotnet_tpu.models import cotnet_hybrid  # noqa: F401
 from cotnet_tpu.models import lr_net  # noqa: F401
+from cotnet_tpu.models import res2net  # noqa: F401
+from cotnet_tpu.models import resnest  # noqa: F401
 from cotnet_tpu.models import resnet  # noqa: F401
 from cotnet_tpu.models import san  # noqa: F401
+from cotnet_tpu.models import sknet  # noqa: F401
 
 from cotnet_tpu.models.cotnet import CotBottleneck, CotLayer, CoXtLayer
 from cotnet_tpu.models.cotnet_hybrid import CotHybridBottleneck

@@ -80,22 +80,23 @@ def _tile_lanes(wk, g):
 
 
 def _fwd_kernel(xp_ref, w_ref, out_ref, *, kh, kw, dh, dw, heads, k2, g, cw, ho, wo, c):
-    """Weight taps are tiled to full channel width once per tap so every FMA
-    runs at C lanes instead of Cw (Cw is 1/8 of C in the CoT family — the
-    per-group-slice formulation wastes 15/16 of the VPU at stage 1)."""
+    """Weight taps are tiled to full channel width so every FMA runs at C
+    lanes instead of Cw (Cw is C/8 in the CoT family — per-group slicing
+    wastes 15/16 of the VPU at stage 1).  Taps iterate via fori_loop so
+    Mosaic reuses one set of fp32 temporaries instead of keeping all K^2
+    unrolled tap buffers live (which blows the 16MB VMEM scoped limit)."""
     out_dtype = out_ref.dtype
     for head in range(heads):
-        acc = None
-        for ikh in range(kh):
-            for ikw in range(kw):
-                k = ikh * kw + ikw
-                xs = xp_ref[:, ikh * dh:ikh * dh + ho,
-                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
-                wk = w_ref[:, :, :,
-                           (head * k2 + k) * cw:(head * k2 + k + 1) * cw
-                           ].astype(jnp.float32)
-                t = xs * _tile_lanes(wk, g)
-                acc = t if acc is None else acc + t
+        def tap(k, acc, head=head):
+            ikh, ikw = k // kw, k % kw
+            xs = xp_ref[:, pl.ds(ikh * dh, ho), pl.ds(ikw * dw, wo),
+                        :].astype(jnp.float32)
+            wk = w_ref[:, :, :, pl.ds((head * k2 + k) * cw, cw)
+                       ].astype(jnp.float32)
+            return acc + xs * _tile_lanes(wk, g)
+
+        acc = jax.lax.fori_loop(
+            0, k2, tap, jnp.zeros((1, ho, wo, c), jnp.float32))
         out_ref[:, :, :, head * c:(head + 1) * c] = acc.astype(out_dtype)
 
 
@@ -110,15 +111,17 @@ def _dx_kernel(w_ref, dy_ref, dxp_ref, acc_ref, *, kh, kw, dh, dw, heads, k2, g,
     """
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for head in range(heads):
-        dys = dy_ref[:, :, :, head * c:(head + 1) * c].astype(jnp.float32)
-        for ikh in range(kh):
-            for ikw in range(kw):
-                k = ikh * kw + ikw
-                wk = w_ref[:, :, :,
-                           (head * k2 + k) * cw:(head * k2 + k + 1) * cw
-                           ].astype(jnp.float32)
-                acc_ref[:, ikh * dh:ikh * dh + ho, ikw * dw:ikw * dw + wo,
-                        :] += _tile_lanes(wk, g) * dys
+        def tap(k, _, head=head):
+            ikh, ikw = k // kw, k % kw
+            dys = dy_ref[:, :, :, head * c:(head + 1) * c].astype(jnp.float32)
+            wk = w_ref[:, :, :, pl.ds((head * k2 + k) * cw, cw)
+                       ].astype(jnp.float32)
+            cur = acc_ref[:, pl.ds(ikh * dh, ho), pl.ds(ikw * dw, wo), :]
+            acc_ref[:, pl.ds(ikh * dh, ho), pl.ds(ikw * dw, wo), :] = (
+                cur + _tile_lanes(wk, g) * dys)
+            return 0
+
+        jax.lax.fori_loop(0, k2, tap, 0)
     dxp_ref[...] = acc_ref[...].astype(dxp_ref.dtype)
 
 
@@ -129,19 +132,20 @@ def _dw_kernel(xp_ref, dy_ref, dw_ref, *, kh, kw, dh, dw, heads, k2, g, cw, ho,
     aggregation_zeropad.py:99-103)."""
     out_dtype = dw_ref.dtype
     for head in range(heads):
-        dys = dy_ref[:, :, :, head * c:(head + 1) * c].astype(jnp.float32)
-        for ikh in range(kh):
-            for ikw in range(kw):
-                k = ikh * kw + ikw
-                xs = xp_ref[:, ikh * dh:ikh * dh + ho,
-                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
-                t = xs * dys  # full-width product, then group-sum on lanes
-                acc = None
-                for gi in range(g):
-                    part = t[:, :, :, gi * cw:(gi + 1) * cw]
-                    acc = part if acc is None else acc + part
-                dw_ref[:, :, :, (head * k2 + k) * cw:(head * k2 + k + 1) * cw] = (
-                    acc.astype(out_dtype))
+        def tap(k, _, head=head):
+            ikh, ikw = k // kw, k % kw
+            dys = dy_ref[:, :, :, head * c:(head + 1) * c].astype(jnp.float32)
+            xs = xp_ref[:, pl.ds(ikh * dh, ho), pl.ds(ikw * dw, wo),
+                        :].astype(jnp.float32)
+            t = xs * dys  # full-width product, then group-sum on lanes
+            acc = t[:, :, :, 0:cw]
+            for gi in range(1, g):
+                acc = acc + t[:, :, :, gi * cw:(gi + 1) * cw]
+            dw_ref[:, :, :, pl.ds((head * k2 + k) * cw, cw)] = (
+                acc.astype(out_dtype))
+            return 0
+
+        jax.lax.fori_loop(0, k2, tap, 0)
 
 
 def _geometry(xp_shape, w_shape, kernel_size, dilation):
