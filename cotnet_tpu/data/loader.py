@@ -139,8 +139,8 @@ class Loader:
             dataset.transform = create_train_transform(
                 image_size, scale, ratio, hflip, vflip, interpolation,
                 color_jitter=None if auto_augment else color_jitter)
-            ra = (rand_augment_transform(auto_augment)
-                  if auto_augment else None)
+            from cotnet_tpu.data.auto_augment import create_batch_augment
+            ra = create_batch_augment(auto_augment)
             re_ = (RandomErasing(reprob, mode=remode, count=recount,
                                  num_splits=num_aug_splits)
                    if reprob > 0 else None)
