@@ -15,10 +15,12 @@ from cotnet_tpu.utils.meters import TestMeter
 
 
 class Evaler:
-    def __init__(self, model, loader, logger=None, use_ema: bool = False):
+    def __init__(self, model, loader, logger=None, use_ema: bool = False,
+                 tta_hflip: bool = False):
         self.loader = loader
         self.logger = logger
-        self.eval_step = make_eval_step(model, use_ema=use_ema)
+        self.eval_step = make_eval_step(model, use_ema=use_ema,
+                                        tta_hflip=tta_hflip)
         self.use_ema = use_ema
 
     def __call__(self, epoch: int, state) -> dict:

@@ -167,6 +167,63 @@ def lookahead(inner: optax.GradientTransformation, sync_period: int = 6,
     return optax.GradientTransformation(init, update)
 
 
+class _AdaHessianState(NamedTuple):
+    exp_avg: Any
+    exp_hessian_sq: Any
+    count: jnp.ndarray
+
+
+def adahessian(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
+               hessian_power=1.0):
+    """AdaHessian (reference optim/adahessian.py): Adam-like update with the
+    second moment built from Hutchinson Hessian-diagonal estimates.
+
+    The Hessian diagonal arrives as an extra update arg (``hessian_diag``,
+    computed by the train step via an hvp with Rademacher probes —
+    make_train_step(second_order=True), the analog of the reference's
+    create_graph=True backward, train.py:249).  Conv-kernel entries are
+    spatially block-averaged as in the reference.
+    """
+
+    def init(params):
+        z = jax.tree.map(jnp.zeros_like, params)
+        return _AdaHessianState(z, jax.tree.map(jnp.zeros_like, params),
+                                jnp.zeros((), jnp.int32))
+
+    def _avg_spatial(h):
+        if h.ndim == 4:  # HWIO conv kernel: average over spatial taps
+            return jnp.broadcast_to(jnp.mean(jnp.abs(h), axis=(0, 1),
+                                             keepdims=True), h.shape)
+        return jnp.abs(h)
+
+    def update(grads, state, params=None, *, hessian_diag=None, **_):
+        assert hessian_diag is not None, (
+            "adahessian needs hessian_diag from make_train_step("
+            "second_order=True)")
+        count = state.count + 1
+        b1c = 1 - b1 ** count
+        b2c = 1 - b2 ** count
+        m = jax.tree.map(lambda m_, g: b1 * m_ + (1 - b1) * g,
+                         state.exp_avg, grads)
+        hd = jax.tree.map(_avg_spatial, hessian_diag)
+        v = jax.tree.map(lambda v_, h: b2 * v_ + (1 - b2) * h * h,
+                         state.exp_hessian_sq, hd)
+
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+
+        def upd(p, m_, v_):
+            denom = jnp.power(jnp.sqrt(v_ / b2c), hessian_power) + eps
+            step = (m_ / b1c) / denom
+            if weight_decay:
+                step = step + weight_decay * p
+            return -lr * step
+
+        updates = jax.tree.map(upd, params, m, v)
+        return updates, _AdaHessianState(m, v, count)
+
+    return optax.GradientTransformationExtraArgs(init, update)
+
+
 def clip_transform(mode: Optional[str], value: float):
     """norm/value/agc (reference utils/clip_grad.py:26-40)."""
     if not mode or value is None or value <= 0:
@@ -261,9 +318,8 @@ def create_optimizer(cfg: dict, schedule_or_lr, params=None,
         tx = optax.lars(lr, weight_decay=wd, weight_decay_mask=mask,
                         momentum=momentum)
     elif opt == "adahessian":
-        raise NotImplementedError(
-            "adahessian needs Hessian diagonals from the train step; "
-            "planned — use adamw/adamp meanwhile")
+        # pair with make_train_step(second_order=True)
+        return adahessian(lr, *betas, eps=eps, weight_decay=wd)
     else:
         raise ValueError(f"Invalid optimizer {opt!r}")
 

@@ -33,6 +33,7 @@ def make_train_step(
     ema_decay: float = 0.0,
     mixup_fn: Optional[Callable] = None,
     donate: bool = True,
+    second_order: bool = False,
 ):
     """Build the jitted train step.
 
@@ -62,7 +63,23 @@ def make_train_step(
         (loss, (logits, new_bs)), grads = jax.value_and_grad(
             loss_inner, has_aux=True)(state.params)
 
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        if second_order:
+            # Hutchinson Hessian-diagonal probe for AdaHessian (the analog
+            # of the reference's create_graph=True backward, train.py:249)
+            z_rng = jax.random.fold_in(step_rng, 1)
+            leaves, treedef = jax.tree.flatten(state.params)
+            keys = jax.random.split(z_rng, len(leaves))
+            z = treedef.unflatten([
+                jax.random.rademacher(k, l.shape, jnp.float32)
+                for k, l in zip(keys, leaves)])
+            grad_only = lambda p: jax.grad(
+                lambda q: loss_inner(q)[0])(p)
+            _, hz = jax.jvp(grad_only, (state.params,), (z,))
+            hessian_diag = jax.tree.map(lambda zi, hzi: zi * hzi, z, hz)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params,
+                                         hessian_diag=hessian_diag)
+        else:
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
         new_ema_p, new_ema_bs = state.ema_params, state.ema_batch_stats
@@ -89,15 +106,19 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, use_ema: bool = False):
+def make_eval_step(model, use_ema: bool = False, tta_hflip: bool = False):
     """Top-1/top-5 correct counts (reference utils/meters.py:12-19); summed
-    across the data mesh automatically under GSPMD."""
+    across the data mesh automatically under GSPMD.  ``tta_hflip`` averages
+    logits with the horizontally flipped view (reference tta config knob)."""
 
     def eval_step(state: TrainState, batch):
         params = state.ema_params if use_ema else state.params
         bs = state.ema_batch_stats if use_ema else state.batch_stats
-        logits = model.apply({"params": params, "batch_stats": bs},
-                             batch["image"], training=False)
+        variables = {"params": params, "batch_stats": bs}
+        logits = model.apply(variables, batch["image"], training=False)
+        if tta_hflip:
+            logits = 0.5 * (logits + model.apply(
+                variables, batch["image"][:, :, ::-1, :], training=False))
         labels = batch["label"]
         valid = batch.get("valid", jnp.ones_like(labels, jnp.float32))
         k = min(5, logits.shape[-1])

@@ -199,18 +199,41 @@ def main(argv=None):
         model, tx, schedule_fn, train_loss,
         ema_decay=cfg.model.model_ema_decay if ema else 0.0,
         mixup_fn=mixup_fn)
+    # mixup can switch off near the end of training (cfg mixup_off_epoch,
+    # reference train.py handles it via loader flag)
+    mixup_off_epoch = cfg.augmentation.mixup_off_epoch or 0
+    train_step_nomix = None
+    if mixup_fn is not None and mixup_off_epoch > 0:
+        from cotnet_tpu.train.loss import label_smoothing_cross_entropy
 
-    evaler = Evaler(model, val_loader, logger)
-    evaler_ema = Evaler(model, val_loader, logger, use_ema=True) if ema else None
+        def _hard_loss(logits, labels):
+            return label_smoothing_cross_entropy(logits, labels,
+                                                 cfg.loss.smoothing)
+        train_step_nomix = make_train_step(
+            model, tx, schedule_fn, _hard_loss,
+            ema_decay=cfg.model.model_ema_decay if ema else 0.0,
+            mixup_fn=None)
+
+    tta = bool(cfg.augmentation.tta)
+    evaler = Evaler(model, val_loader, logger, tta_hflip=tta)
+    evaler_ema = (Evaler(model, val_loader, logger, use_ema=True,
+                         tta_hflip=tta) if ema else None)
 
     if args.eval_only:
         evaler(start_epoch, state)
         return
 
+    if cfg.solver.start_epoch is not None and not start_epoch:
+        start_epoch = int(cfg.solver.start_epoch)
+
     rng = jax.random.PRNGKey(int(cfg.seed) + 777)
     best = -1.0
     try:
         for epoch in range(start_epoch, num_epochs):
+            step_fn = train_step
+            if (train_step_nomix is not None
+                    and epoch >= num_epochs - mixup_off_epoch):
+                step_fn = train_step_nomix
             train_loader.set_epoch(epoch)
             meter = TrainMeter(steps_per_epoch, num_epochs,
                                cfg.solver.log_interval, logger,
@@ -219,7 +242,7 @@ def main(argv=None):
                 if args.steps and it >= args.steps:
                     break
                 meter.iter_tic()
-                state, metrics = train_step(state, batch, rng)
+                state, metrics = step_fn(state, batch, rng)
                 meter.iter_toc()
                 if (it + 1) % cfg.solver.log_interval == 0:
                     meter.update(float(metrics["loss"]),

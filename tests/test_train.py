@@ -207,3 +207,24 @@ def test_mixup_targets_sum_to_one():
     assert out.shape == x.shape and tgt.shape == (8, 10)
     np.testing.assert_allclose(np.asarray(jnp.sum(tgt, -1)), np.ones(8),
                                rtol=1e-5)
+
+
+def test_adahessian_second_order_step():
+    """AdaHessian with Hutchinson probes (reference optim/adahessian.py)."""
+    from cotnet_tpu.train.optim import adahessian
+
+    model = TinyNet()
+    x = jnp.ones((8, 8, 8, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, training=True)
+    tx = adahessian(0.01, weight_decay=1e-4)
+    state = TrainState.create(variables, tx, ema=False)
+    step = make_train_step(model, tx, lambda s: jnp.asarray(0.01),
+                           cross_entropy, donate=False, second_order=True)
+    batch = {"image": jax.random.normal(jax.random.PRNGKey(1), (8, 8, 8, 3)),
+             "label": jnp.arange(8) % 4}
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
