@@ -18,6 +18,9 @@ def create_model(
     num_classes: int = 1000,
     in_chans: int = 3,
     checkpoint_path: str = "",
+    scriptable=None,
+    exportable=None,
+    no_jit=None,
     **kwargs,
 ):
     """Create a model Module by registry name.
@@ -45,7 +48,10 @@ def create_model(
 
     if not is_model(model_name):
         raise RuntimeError(f"Unknown model ({model_name})")
-    model = model_entrypoint(model_name)(**model_args, **kwargs)
+    from cotnet_tpu.nn.config import set_layer_config
+    with set_layer_config(scriptable=scriptable, exportable=exportable,
+                          no_jit=no_jit):
+        model = model_entrypoint(model_name)(**model_args, **kwargs)
 
     if checkpoint_path:
         raise ValueError(
