@@ -3,31 +3,29 @@
 TPU-native replacements for the reference's CUDA kernels
 (/root/reference/cupy_layers/aggregation_zeropad.py:20-110).  Design notes:
 
-- **Grid over batch, one image per step.**  Each step holds the padded input
-  block, the weight block and the output block in VMEM (CoT feature maps are
-  <= ~2 MB); >1 images per block makes Mosaic unroll the batch dim and blow
-  up compile time, and one image per step already double-buffers the DMA.
+- **Grid over batch, one image per step.**  Each step holds its blocks in
+  VMEM (CoT feature maps are <= ~2 MB); >1 images per block makes Mosaic
+  unroll the batch dim and blow up compile time, and one image per step
+  already double-buffers the DMA.
+- **Zero-padding fused into the kernel.**  A pallas custom-call is a fusion
+  boundary, so an XLA-side jnp.pad would materialize the padded input in HBM
+  (an extra ~2x image of traffic).  Instead the kernel memsets a VMEM scratch
+  and copies the unpadded block into its interior.  Reflect padding still
+  pads outside (rare path; its VJP fold comes free from jnp.pad's autodiff).
 - **Full-lane FMAs.**  The op shares Cw weight channels across G = C/Cw
-  channel groups.  Slicing per group would run the VPU at Cw/128 lanes
-  (6% at stage 1); instead each weight tap is lane-tiled to the full C width
-  once and the multiply-accumulate runs at C lanes.
-- **Mosaic-legal loop structure.**  Offsets on the W (sublane) and channel
-  (lane) dims must be static; row (H) offsets may be dynamic.  So the kernel
-  fori-loops over kernel rows (keeping ONE set of fp32 temporaries live —
-  a fully unrolled K^2 loop holds ~9 full-width fp32 temps and exceeds the
-  16 MB scoped-VMEM limit) and unrolls the kw column taps.  To make the
-  weight tap addressable by row, the caller pre-transposes the weight to
-  ``[N, heads*kh, Ho, Wo, kw*Cw]`` (one cheap XLA transpose of the small
-  weight tensor).
+  groups; slicing per group would run the VPU at Cw/128 lanes (6% at
+  stage 1), so each weight tap is lane-tiled to the full C width once.
+- **Mosaic-legal loop structure.**  W (sublane) and channel (lane) offsets
+  must be static; row (H) offsets may be dynamic.  The kernel fori-loops
+  over kernel rows — keeping ONE set of fp32 temporaries live, where a fully
+  unrolled K^2 loop exceeds the 16 MB scoped-VMEM limit — and unrolls the kw
+  column taps.  The caller pre-transposes the weight to
+  ``[N, heads*kh, Ho, Wo, kw*Cw]`` so a row of taps is addressable by a
+  dynamic index on an untiled dim.
 - fp32 accumulation regardless of I/O dtype.
-- The weight gradient uses the XLA formulation (patch einsum): its scatter
-  layout doesn't fit Mosaic's static-lane constraint; the XLA version fuses
-  well and the weight tensor is the smallest of the three.
-
-Inputs arrive pre-padded (zero or reflect — padding applied by the caller
-with jnp.pad); the input-grad kernel produces the cotangent of the *padded*
-input and JAX's pad-VJP folds borders back automatically, subsuming the
-reference's hand-written reflection fold (aggregation_refpad.py:196-200).
+- The weight gradient uses the XLA patch formulation (pure jnp): its scatter
+  layout doesn't fit Mosaic's static-lane constraint, it fuses well, and the
+  weight tensor is the smallest of the three.
 
 Only stride=1 has kernels (every model in the family aggregates at stride 1;
 ``local_agg.local_aggregate`` routes strided cases to the XLA formulation).
@@ -61,17 +59,19 @@ def _tiled_bytes(shape, itemsize) -> int:
     return n * w_pad * c_pad * itemsize
 
 
-def fits_vmem(xp_shape, w_shape, itemsize) -> bool:
-    """Single-image working set (I/O blocks x double buffering + the fp32
-    accumulators) against the VMEM budget; fall back to XLA beyond it."""
-    n, hp, wp, c = xp_shape
+def fits_vmem(x_shape, w_shape, itemsize, padding=(0, 0)) -> bool:
+    """Single-image working set (I/O blocks x double buffering + the padded
+    scratch and fp32 accumulators) against the VMEM budget; callers fall
+    back to XLA beyond it."""
+    n, hi, wi, c = x_shape
     _, ho, wo, heads, k2, cw = w_shape
     kh = int(round(k2 ** 0.5))
-    bufs = (_tiled_bytes((1, hp, wp, c), itemsize)
+    hp, wp = hi + 2 * padding[0], wi + 2 * padding[1]
+    bufs = (_tiled_bytes((1, hi, wi, c), itemsize)
             + _tiled_bytes((1, heads * kh, ho, wo, (k2 // kh) * cw), itemsize)
             + _tiled_bytes((1, ho, wo, heads * c), itemsize))
-    # fp32 temps: acc + ~3 live tap operands at full width
-    scratch = 4 * _tiled_bytes((1, hp, wp, c), 4)
+    scratch = (_tiled_bytes((1, hp, wp, c), itemsize)      # padded copy
+               + 4 * _tiled_bytes((1, hp, wp, c), 4))      # fp32 temps
     return 2 * bufs + scratch <= _VMEM_BUDGET_BYTES
 
 
@@ -81,12 +81,21 @@ def _tile_lanes(wk, g):
     return jnp.concatenate([wk] * g, axis=-1) if g > 1 else wk
 
 
-def _fwd_kernel(xp_ref, wt_ref, out_ref, *, kh, kw, dh, dw, heads, g, cw,
-                ho, wo, c):
-    """out[ho,wo,head*C+c] = sum_k w[head,k][ho,wo,c%Cw] * xp[ho+kh*dh, wo+kw*dw, c].
+def _fill_padded(x_ref, xp_ref, ph, pw, hi, wi):
+    """memset + center copy: xp[ph:ph+hi, pw:pw+wi] = x (zero borders)."""
+    if ph == 0 and pw == 0:
+        xp_ref[...] = x_ref[...]
+    else:
+        xp_ref[...] = jnp.zeros_like(xp_ref)
+        xp_ref[:, ph:ph + hi, pw:pw + wi, :] = x_ref[...]
 
-    wt_ref: [1, heads*kh, Ho, Wo, kw*Cw] (row-major taps, see module doc)."""
+
+def _fwd_kernel(x_ref, wt_ref, out_ref, xp_ref, *, kh, kw, dh, dw, heads, g,
+                cw, ho, wo, c, ph, pw, hi, wi):
+    """out[ho,wo,head*C+c] = sum_k w[head,k][ho,wo,c%Cw]
+                                   * xpad[ho+kh*dh, wo+kw*dw, c]."""
     out_dtype = out_ref.dtype
+    _fill_padded(x_ref, xp_ref, ph, pw, hi, wi)
     for head in range(heads):
         def row(ikh, acc, head=head):
             wrow = wt_ref[:, pl.ds(head * kh + ikh, 1)].reshape(
@@ -103,11 +112,12 @@ def _fwd_kernel(xp_ref, wt_ref, out_ref, *, kh, kw, dh, dw, heads, g, cw,
         out_ref[:, :, :, head * c:(head + 1) * c] = acc.astype(out_dtype)
 
 
-def _dx_kernel(wt_ref, dy_ref, dxp_ref, acc_ref, *, kh, kw, dh, dw, heads, g,
-               cw, ho, wo, c):
-    """Cotangent w.r.t. the padded input — the exact transpose of the forward
-    shifted-slice pattern (cf. aggregation_zeropad.py:48-78; the stride/bounds
-    branching vanishes for stride=1 on the padded buffer)."""
+def _dx_kernel(wt_ref, dy_ref, dx_ref, acc_ref, *, kh, kw, dh, dw, heads, g,
+               cw, ho, wo, c, ph, pw, hi, wi):
+    """Cotangent w.r.t. the (unpadded) input — the transpose of the forward
+    shifted-slice pattern (cf. aggregation_zeropad.py:48-78; the stride/
+    bounds branching vanishes on the padded accumulator, and the zero-pad
+    VJP is the final center slice)."""
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for head in range(heads):
         dys = dy_ref[:, :, :, head * c:(head + 1) * c].astype(jnp.float32)
@@ -125,20 +135,23 @@ def _dx_kernel(wt_ref, dy_ref, dxp_ref, acc_ref, *, kh, kw, dh, dw, heads, g,
             return carry
 
         jax.lax.fori_loop(0, kh, row, 0)
-    dxp_ref[...] = acc_ref[...].astype(dxp_ref.dtype)
+    dx_ref[...] = acc_ref[:, ph:ph + hi, pw:pw + wi, :].astype(dx_ref.dtype)
 
 
-def _geometry(xp_shape, w_shape, kernel_size, dilation):
-    n, hp, wp, c = xp_shape
+def _geometry(x_shape, w_shape, kernel_size, dilation, padding):
+    n, hi, wi, c = x_shape
     _, ho, wo, heads, k2, cw = w_shape
     kh, kw = kernel_size
     dh, dw = dilation
+    ph, pw = padding
     assert k2 == kh * kw and c % cw == 0
-    assert ho == hp - (kh - 1) * dh and wo == wp - (kw - 1) * dw, (
-        f"padded input {(hp, wp)} inconsistent with output {(ho, wo)} for "
-        f"K={kernel_size} dil={dilation}")
+    assert ho == hi + 2 * ph - (kh - 1) * dh and \
+        wo == wi + 2 * pw - (kw - 1) * dw, (
+            f"input {(hi, wi)} pad {padding} inconsistent with output "
+            f"{(ho, wo)} for K={kernel_size} dil={dilation}")
     return dict(kh=kh, kw=kw, dh=dh, dw=dw, heads=heads,
-                g=c // cw, cw=cw, ho=ho, wo=wo, c=c)
+                g=c // cw, cw=cw, ho=ho, wo=wo, c=c, ph=ph, pw=pw,
+                hi=hi, wi=wi)
 
 
 def _row_major_weight(w, kh, kw):
@@ -155,42 +168,45 @@ def _block(shape):
                         memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def agg_core_pallas(xp, w, kernel_size, dilation):
-    """VALID stride-1 local aggregation on a pre-padded NHWC input.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def agg_core_pallas(x, w, kernel_size, dilation, padding=(0, 0)):
+    """Stride-1 local aggregation with fused zero padding.
 
-    xp: [N, Hp, Wp, C]; w: [N, Ho, Wo, heads, K^2, Cw] -> [N, Ho, Wo, heads*C].
+    x: [N, H, W, C]; w: [N, Ho, Wo, heads, K^2, Cw] -> [N, Ho, Wo, heads*C].
+    For reflect padding, pre-pad with jnp.pad and pass padding=(0, 0).
     """
-    return _agg_fwd_impl(xp, w, kernel_size, dilation)
+    return _agg_fwd_impl(x, w, kernel_size, dilation, padding)
 
 
-def _agg_fwd_impl(xp, w, kernel_size, dilation):
-    geo = _geometry(xp.shape, w.shape, kernel_size, dilation)
-    n, hp, wp, c = xp.shape
-    ho, wo, heads, cw = geo["ho"], geo["wo"], geo["heads"], geo["cw"]
+def _agg_fwd_impl(x, w, kernel_size, dilation, padding):
+    geo = _geometry(x.shape, w.shape, kernel_size, dilation, padding)
+    n, hi, wi, c = x.shape
+    ho, wo, heads = geo["ho"], geo["wo"], geo["heads"]
     kh, kw = geo["kh"], geo["kw"]
+    hp, wp = hi + 2 * geo["ph"], wi + 2 * geo["pw"]
     wt = _row_major_weight(w, kh, kw)
 
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, **geo),
         grid=(n,),
-        in_specs=[_block(xp.shape), _block(wt.shape)],
+        in_specs=[_block(x.shape), _block(wt.shape)],
         out_specs=_block((n, ho, wo, heads * c)),
-        out_shape=jax.ShapeDtypeStruct((n, ho, wo, heads * c), xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, ho, wo, heads * c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((1, hp, wp, c), x.dtype)],
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * ho * wo * heads * kh * kw * c,
-            bytes_accessed=(xp.size + wt.size + n * ho * wo * heads * c)
-            * xp.dtype.itemsize,
+            bytes_accessed=(x.size + wt.size + n * ho * wo * heads * c)
+            * x.dtype.itemsize,
             transcendentals=0),
-    )(xp, wt)
+    )(x, wt)
     return out
 
 
-def _dw_xla(xp, dy, w_shape, kernel_size, dilation):
+def _dw_xla(x, dy, w_shape, kernel_size, dilation, padding):
     """Weight cotangent via the patch formulation (pure XLA; see module doc).
 
-    dw[n,ho,wo,head,k,cw] = sum_g xp[n,ho+kh*dh,wo+kw*dw,g*Cw+cw]
+    dw[n,ho,wo,head,k,cw] = sum_g xpad[n,ho+kh*dh,wo+kw*dw,g*Cw+cw]
                                   * dy[n,ho,wo,head*C+g*Cw+cw]
     """
     from jax import lax
@@ -198,8 +214,10 @@ def _dw_xla(xp, dy, w_shape, kernel_size, dilation):
     n, ho, wo, heads, k2, cw = w_shape
     kh, kw = kernel_size
     dh, dw_ = dilation
-    c = xp.shape[-1]
+    ph, pw = padding
+    c = x.shape[-1]
     g = c // cw
+    xp = jnp.pad(x, [(0, 0), (ph, ph), (pw, pw), (0, 0)]) if (ph or pw) else x
     taps = []
     for ikh in range(kh):
         for ikw in range(kw):
@@ -209,33 +227,34 @@ def _dw_xla(xp, dy, w_shape, kernel_size, dilation):
     patches = jnp.stack(taps, axis=3)  # [N, Ho, Wo, K2, C]
     patches = patches.reshape(n, ho, wo, 1, k2, g, cw).astype(jnp.float32)
     dyr = dy.reshape(n, ho, wo, heads, 1, g, cw).astype(jnp.float32)
-    return jnp.sum(patches * dyr, axis=5).astype(xp.dtype)  # [N,Ho,Wo,heads,K2,Cw]
+    return jnp.sum(patches * dyr, axis=5).astype(x.dtype)
 
 
-def _agg_fwd_rule(xp, w, kernel_size, dilation):
-    return _agg_fwd_impl(xp, w, kernel_size, dilation), (xp, w)
+def _agg_fwd_rule(x, w, kernel_size, dilation, padding):
+    return _agg_fwd_impl(x, w, kernel_size, dilation, padding), (x, w)
 
 
-def _agg_bwd_rule(kernel_size, dilation, res, dy):
-    xp, w = res
-    geo = _geometry(xp.shape, w.shape, kernel_size, dilation)
-    n, hp, wp, c = xp.shape
-    ho, wo, heads, cw = geo["ho"], geo["wo"], geo["heads"], geo["cw"]
+def _agg_bwd_rule(kernel_size, dilation, padding, res, dy):
+    x, w = res
+    geo = _geometry(x.shape, w.shape, kernel_size, dilation, padding)
+    n, hi, wi, c = x.shape
+    ho, wo, heads = geo["ho"], geo["wo"], geo["heads"]
     kh, kw = geo["kh"], geo["kw"]
+    hp, wp = hi + 2 * geo["ph"], wi + 2 * geo["pw"]
     wt = _row_major_weight(w, kh, kw)
 
-    dxp = pl.pallas_call(
+    dx = pl.pallas_call(
         functools.partial(_dx_kernel, **geo),
         grid=(n,),
         in_specs=[_block(wt.shape), _block((n, ho, wo, heads * c))],
-        out_specs=_block(xp.shape),
-        out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
+        out_specs=_block(x.shape),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         scratch_shapes=[pltpu.VMEM((1, hp, wp, c), jnp.float32)],
         interpret=_use_interpret(),
     )(wt, dy)
 
-    dw = _dw_xla(xp, dy, w.shape, kernel_size, dilation)
-    return dxp, dw
+    dw = _dw_xla(x, dy, w.shape, kernel_size, dilation, padding)
+    return dx, dw
 
 
 agg_core_pallas.defvjp(_agg_fwd_rule, _agg_bwd_rule)
