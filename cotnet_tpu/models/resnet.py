@@ -255,6 +255,7 @@ class ResNet(fnn.Module):
     block_args: Optional[dict] = None
     features_only: bool = False
     out_indices: Sequence[int] = (1, 2, 3, 4)
+    remat: bool = False  # jax.checkpoint each block (trade FLOPs for HBM)
     dtype: Any = None
     axis_name: Optional[str] = None
 
@@ -326,7 +327,10 @@ class ResNet(fnn.Module):
                         avg=self.avg_down)
                 dpr = self.drop_path_rate * net_block_idx / max(
                     net_num_blocks - 1, 1)
-                x = self.block(
+                block_cls = (fnn.remat(self.block,
+                                       static_argnums=(2,))
+                             if self.remat else self.block)
+                x = block_cls(
                     planes=planes,
                     stride=b_stride,
                     downsample=downsample,
@@ -346,7 +350,7 @@ class ResNet(fnn.Module):
                     **({"block_idx": block_idx}
                        if "block_idx" in self.block.__dataclass_fields__ else {}),
                     **block_args,
-                )(x, training=training)
+                )(x, training)  # positional: remat's static_argnums needs it
                 prev_dilation = dilation
                 net_block_idx += 1
             features.append(x)
