@@ -16,6 +16,7 @@ from cotnet_tpu.models.registry import (
 # importing the model modules populates the registry
 from cotnet_tpu.models import botnet  # noqa: F401
 from cotnet_tpu.models import cotnet  # noqa: F401
+from cotnet_tpu.models import efficientnet  # noqa: F401
 from cotnet_tpu.models import cotnet_hybrid  # noqa: F401
 from cotnet_tpu.models import lr_net  # noqa: F401
 from cotnet_tpu.models import res2net  # noqa: F401
