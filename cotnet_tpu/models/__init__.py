@@ -24,6 +24,7 @@ from cotnet_tpu.models import resnest  # noqa: F401
 from cotnet_tpu.models import resnet  # noqa: F401
 from cotnet_tpu.models import san  # noqa: F401
 from cotnet_tpu.models import sknet  # noqa: F401
+from cotnet_tpu.models import swin_transformer  # noqa: F401
 from cotnet_tpu.models import vision_transformer  # noqa: F401
 
 from cotnet_tpu.models.cotnet import CotBottleneck, CotLayer, CoXtLayer

@@ -46,7 +46,10 @@ PARAM_PARITY = [
 @pytest.mark.parametrize("name,size", [
     ("lrnet50", 64), ("lrnet50_ks3", 64), ("BoTNetS1_59", 64),
     ("se_cotnetd_152", 64), ("cotnext50_2x48d", 64), ("seresnext50_32x4d", 64),
-    ("resnet18", 64), ("ecaresnet50d", 64),
+    ("resnet18", 64), ("ecaresnet50d", 64), ("san19", 64),
+    ("skresnet50", 64), ("resnest50d", 64), ("res2net50_26w_4s", 64),
+    ("efficientnet_b0", 64), ("mobilenetv2_100", 64),
+    ("vit_tiny_patch16_224", 224), ("swin_tiny_patch4_window7_224", 224),
 ])
 def test_model_zoo_builds(name, size):
     """Every registered family constructs and shape-checks."""
@@ -99,3 +102,32 @@ def test_features_only():
     # strides 4, 8, 16, 32 on the classic chassis
     assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
     assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+
+
+def test_swin_forward_values():
+    """Run a real (non-eval_shape) tiny Swin forward: exercises windowing,
+    shift masks, patch merging numerics."""
+    from cotnet_tpu.models.swin_transformer import SwinTransformer
+
+    model = SwinTransformer(patch_size=4, embed_dim=24, depths=(1, 2),
+                            num_heads=(2, 4), window_size=4, num_classes=5)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    vs = jax.jit(lambda r, x: model.init({"params": r}, x, training=False)
+                 )(jax.random.PRNGKey(1), x)
+    y = jax.jit(lambda v, x: model.apply(v, x, training=False))(vs, x)
+    assert y.shape == (2, 5)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_efficientnet_forward_values():
+    from cotnet_tpu.models.efficientnet import EfficientNet
+
+    model = EfficientNet(arch=(("ds", 1, 3, 1, 8, 1, 0.25),
+                               ("ir", 4, 3, 2, 16, 2, 0.25)),
+                         stem_size=8, num_features=32, num_classes=5)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    vs = jax.jit(lambda r, x: model.init({"params": r}, x, training=False)
+                 )(jax.random.PRNGKey(1), x)
+    y = jax.jit(lambda v, x: model.apply(v, x, training=False))(vs, x)
+    assert y.shape == (2, 5)
+    assert bool(jnp.all(jnp.isfinite(y)))
