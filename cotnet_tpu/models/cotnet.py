@@ -148,8 +148,8 @@ class CoXtLayer(fnn.Module):
         w = relu(bn("embed_bn1")(w))
         w = Conv2d(k2 * cw_total, 1, use_bias=True, groups=dw_group,
                    dtype=self.dtype, name="embed_conv2")(w)
-        w = SubChannelGroupNorm(k2=k2, cw=cw_total, dtype=self.dtype,
-                                name="embed_gn")(w)
+        w = SubChannelGroupNorm(k2=k2, cw=cw_total, dw_groups=dw_group,
+                                dtype=self.dtype, name="embed_gn")(w)
 
         v = Conv2d(dim, 1, groups=dw_group, dtype=self.dtype,
                    name="conv1x1_conv")(x)

@@ -45,15 +45,18 @@ def batch_norm(x, training: bool, name: str, momentum: float = 0.9,
 
 
 class SubChannelGroupNorm(fnn.Module):
-    """GroupNorm over the k-major [..., K^2 * Cw] attention-weight channels.
+    """GroupNorm over k-major attention-weight channels.
 
-    Normalizes each of the ``Cw`` weight channels over (H, W, K^2) per sample,
-    with per-(k, cw) affine params — semantics identical to the reference's
-    nn.GroupNorm(num_groups=Cw, num_channels=K^2*Cw) on the cw-major layout.
+    Channel layout ``[dw_groups][K^2][Cw/dw_groups]`` (dw_groups=1 for
+    CotLayer, 2 for CoXtLayer's grouped embed).  Normalizes each weight
+    channel over (H, W, K^2) per sample with per-channel affine params —
+    semantics identical to the reference's
+    nn.GroupNorm(num_groups=Cw, num_channels=K^2*Cw) on its cw-major layout.
     """
 
     k2: int
     cw: int
+    dw_groups: int = 1
     epsilon: float = 1e-5
     dtype: Optional[jnp.dtype] = None
 
@@ -61,12 +64,14 @@ class SubChannelGroupNorm(fnn.Module):
     def __call__(self, x):
         n, h, w, c = x.shape
         assert c == self.k2 * self.cw, (c, self.k2, self.cw)
+        cwg = self.cw // self.dw_groups
         scale = self.param("scale", fnn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", fnn.initializers.zeros, (c,), jnp.float32)
 
-        xf = x.astype(jnp.float32).reshape(n, h, w, self.k2, self.cw)
-        mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
+        xf = x.astype(jnp.float32).reshape(
+            n, h, w, self.dw_groups, self.k2, cwg)
+        mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)
         y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
         y = y.reshape(n, h, w, c) * scale + bias
         return y.astype(self.dtype or x.dtype)

@@ -176,3 +176,80 @@ def test_load_torch_checkpoint_conventions(tmp_path):
     assert set(plain) == {"w", "b"} and plain["w"][0] == 1.0
     emad = load_torch_checkpoint(path, use_ema=True)
     assert emad["w"][0] == 2.0
+
+
+class TorchCoXtOracle(nn.Module):
+    """Grouped CoT block oracle (reference cotnet.py:106-178 naming/math):
+    dw_group=2 grouped embeds, interleaved [x;k] pairs, per-group local
+    aggregation."""
+
+    def __init__(self, dim, ks=3):
+        super().__init__()
+        self.dim, self.ks = dim, ks
+        share, factor, radix, dwg = 8, 2, 2, 2
+        self.dwg = dwg
+        self.key_embed = nn.Sequential(
+            nn.Conv2d(dim, dim, ks, padding=ks // 2, groups=8, bias=False),
+            nn.BatchNorm2d(dim), nn.ReLU())
+        self.embed = nn.Sequential(
+            nn.Conv2d(2 * dim, dim // factor, 1, groups=dwg, bias=False),
+            nn.BatchNorm2d(dim // factor), nn.ReLU(),
+            nn.Conv2d(dim // factor, ks * ks * dim // share, 1, groups=dwg),
+            nn.GroupNorm(dim // share, ks * ks * dim // share))
+        self.conv1x1 = nn.Sequential(
+            nn.Conv2d(dim, dim, 1, groups=dwg, bias=False),
+            nn.BatchNorm2d(dim))
+        self.bn = nn.BatchNorm2d(dim)
+        attn_chs = max(dim * radix // 4, 32)
+        self.se = nn.Sequential(
+            nn.Conv2d(dim, attn_chs, 1), nn.BatchNorm2d(attn_chs), nn.ReLU(),
+            nn.Conv2d(attn_chs, radix * dim, 1))
+
+    def forward(self, x):
+        dim, ks, dwg = self.dim, self.ks, self.dwg
+        b, _, hh, ww = x.shape
+        cw = dim // 8
+        k = self.key_embed(x)
+        qk = torch.cat([x.unsqueeze(2), k.unsqueeze(2)], dim=2).view(
+            b, 2 * dim, hh, ww)
+        w = self.embed(qk)
+        w = w.view(b * dwg, 1, cw // dwg, ks * ks, hh, ww)
+
+        v = self.conv1x1(x).view(b * dwg, dim // dwg, hh, ww)
+        patches = F.unfold(v, ks, padding=ks // 2).view(
+            b * dwg, (dim // dwg) // (cw // dwg), cw // dwg, ks * ks, hh, ww)
+        y = (w.unsqueeze(2) * patches.unsqueeze(1)).sum(-3).view(
+            b, dim, hh, ww)
+        y = self.bn(y)
+        y = y * torch.sigmoid(y)
+
+        gap = (y + k).mean((2, 3), keepdim=True)
+        a = self.se(gap).view(b, dim, 2)
+        a = F.softmax(a, dim=2)
+        return y * a[:, :, 0, None, None] + k * a[:, :, 1, None, None]
+
+
+def test_coxt_layer_conversion_parity():
+    """dw_group=2 path: grouped convs + per-group k-major permutation."""
+    from cotnet_tpu.models.cotnet import CoXtLayer
+
+    dim = 32
+    rng = np.random.RandomState(7)
+    oracle = TorchCoXtOracle(dim)
+    with torch.no_grad():
+        _randomize_bn_stats(oracle, rng)
+    oracle.eval()
+    x = rng.randn(2, dim, 9, 9).astype(np.float32)
+    with torch.no_grad():
+        y_t = oracle(torch.tensor(x)).numpy()
+
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    model = CoXtLayer(dim=dim, kernel_size=3)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    shapes = jax.eval_shape(
+        lambda r, x: model.init({"params": r}, x, training=False),
+        jax.random.PRNGKey(0), x_nhwc)
+    variables = convert_torch_state_dict(sd, shapes, dw_group=2, strict=True)
+    y_j = model.apply(variables, x_nhwc, training=False)
+    y_j_nchw = np.transpose(np.asarray(y_j), (0, 3, 1, 2))
+    np.testing.assert_allclose(y_j_nchw, y_t, rtol=2e-4, atol=2e-4)
