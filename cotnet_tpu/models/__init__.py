@@ -23,6 +23,8 @@ from cotnet_tpu.models import lr_net  # noqa: F401
 from cotnet_tpu.models import regnet  # noqa: F401
 from cotnet_tpu.models import res2net  # noqa: F401
 from cotnet_tpu.models import resnest  # noqa: F401
+from cotnet_tpu.models import rexnet  # noqa: F401
+from cotnet_tpu.models import xception  # noqa: F401
 from cotnet_tpu.models import resnet  # noqa: F401
 from cotnet_tpu.models import san  # noqa: F401
 from cotnet_tpu.models import sknet  # noqa: F401

@@ -31,6 +31,8 @@ default_cfgs = {
 }
 default_cfgs["mobilenetv2_100"] = default_cfg(first_conv="conv_stem",
                                               classifier="classifier")
+default_cfgs["mobilenetv3_large_100"] = default_cfg(
+    first_conv="conv_stem", classifier="classifier", crop_pct=0.875)
 default_cfgs["mnasnet_100"] = default_cfg(first_conv="conv_stem",
                                           classifier="classifier")
 
@@ -93,6 +95,8 @@ class MBConv(fnn.Module):
     stride: int = 1
     se_ratio: float = 0.25
     act: str = "swish"
+    se_from_mid: bool = False     # mnv3: SE channels from mid, hard-sigmoid
+    se_gate: str = "sigmoid"
     drop_path_rate: float = 0.0
     dtype: Any = None
     axis_name: Optional[str] = None
@@ -116,10 +120,14 @@ class MBConv(fnn.Module):
                        axis_name=self.axis_name)
         y = act(y)
         if self.se_ratio > 0:
-            # SE reduction is relative to the block INPUT channels (timm)
-            y = SEModule(mid, reduction_channels=max(
-                1, int(in_ch * self.se_ratio)), act=self.act,
-                dtype=self.dtype, name="se")(y, training=training)
+            if self.se_from_mid:  # mobilenetv3 (timm se w/ divisor rounding)
+                rc = round_channels(mid * self.se_ratio, 1.0)
+            else:  # efficientnet: relative to the block INPUT channels
+                rc = max(1, int(in_ch * self.se_ratio))
+            y = SEModule(mid, reduction_channels=rc,
+                         act="relu" if self.se_from_mid else self.act,
+                         gate=self.se_gate,
+                         dtype=self.dtype, name="se")(y, training=training)
         y = Conv2d(self.out_channels, 1, dtype=self.dtype, name="conv_pwl")(y)
         y = batch_norm(y, training, name="bn3", dtype=self.dtype,
                        axis_name=self.axis_name)
@@ -177,7 +185,10 @@ class EfficientNet(fnn.Module):
     act: str = "swish"
     drop_rate: float = 0.2
     drop_path_rate: float = 0.2
-    fix_stem_head: bool = False  # mobilenetv2/mnasnet: don't scale stem/head
+    fix_stem_head: bool = False  # mobilenet/mnasnet: don't scale stem/head
+    se_from_mid: bool = False    # mobilenetv3 SE convention
+    se_gate: str = "sigmoid"
+    head_hidden: int = 0         # mnv3: Dense pre-classifier after pooling
     dtype: Any = None
     axis_name: Optional[str] = None
     features_only: bool = False
@@ -193,11 +204,12 @@ class EfficientNet(fnn.Module):
         x = act(x)
 
         total_blocks = sum(int(math.ceil(r * self.depth_mult))
-                           for (_, _, _, _, _, r, _) in self.arch)
+                           for entry in self.arch for r in [entry[5]])
         idx = 0
         feats = []
-        for si, (btype, expand, ks, stride, ch, repeats, se) in enumerate(
-                self.arch):
+        for si, entry in enumerate(self.arch):
+            btype, expand, ks, stride, ch, repeats, se = entry[:7]
+            stage_act = entry[7] if len(entry) > 7 else self.act
             out_ch = round_channels(ch, self.width_mult)
             reps = int(math.ceil(repeats * self.depth_mult))
             for bi in range(reps):
@@ -205,11 +217,13 @@ class EfficientNet(fnn.Module):
                 s = stride if bi == 0 else 1
                 cls = DepthwiseSeparable if btype == "ds" else MBConv
                 kw = dict(out_channels=out_ch, kernel_size=ks, stride=s,
-                          se_ratio=se, act=self.act, drop_path_rate=dpr,
+                          se_ratio=se, act=stage_act, drop_path_rate=dpr,
                           dtype=self.dtype, axis_name=self.axis_name,
                           name=f"blocks_{si}_{bi}")
                 if btype != "ds":
                     kw["expand"] = expand
+                    kw["se_from_mid"] = self.se_from_mid
+                    kw["se_gate"] = self.se_gate
                 x = cls(**kw)(x, training)
                 idx += 1
             feats.append(x)
@@ -223,6 +237,11 @@ class EfficientNet(fnn.Module):
                        axis_name=self.axis_name)
         x = act(x)
         x = jnp.mean(x, axis=(1, 2))
+        if self.head_hidden:
+            # mnv3: 1x1 conv (as Dense) after pooling, act, no BN
+            x = fnn.Dense(self.head_hidden, dtype=self.dtype,
+                          name="head_hidden")(x)
+            x = act(x)
         if self.drop_rate and training:
             x = fnn.Dropout(self.drop_rate, deterministic=False)(x)
         if self.num_classes > 0:
@@ -258,6 +277,34 @@ def mobilenetv2_100(pretrained=False, **kwargs):
         EfficientNet, "mobilenetv2_100", default_cfgs["mobilenetv2_100"],
         pretrained=pretrained, arch=_MOBILENETV2, act="relu6",
         fix_stem_head=True, num_features=1280, drop_path_rate=0.0, **kwargs)
+
+
+# MobileNetV3-Large-100: per-block entries with explicit acts
+_MOBILENETV3_LARGE = (
+    ("ds", 1, 3, 1, 16, 1, 0.0, "relu"),
+    ("ir", 4, 3, 2, 24, 1, 0.0, "relu"),
+    ("ir", 3, 3, 1, 24, 1, 0.0, "relu"),
+    ("ir", 3, 5, 2, 40, 1, 0.25, "relu"),
+    ("ir", 3, 5, 1, 40, 2, 0.25, "relu"),
+    ("ir", 6, 3, 2, 80, 1, 0.0, "hard_swish"),
+    ("ir", 2.5, 3, 1, 80, 1, 0.0, "hard_swish"),
+    ("ir", 2.3, 3, 1, 80, 2, 0.0, "hard_swish"),
+    ("ir", 6, 3, 1, 112, 2, 0.25, "hard_swish"),
+    ("ir", 6, 5, 2, 160, 1, 0.25, "hard_swish"),
+    ("ir", 6, 5, 1, 160, 2, 0.25, "hard_swish"),
+)
+
+
+@register_model
+def mobilenetv3_large_100(pretrained=False, **kwargs):
+    kwargs.pop("in_chans", None)
+    return build_model_with_cfg(
+        EfficientNet, "mobilenetv3_large_100",
+        default_cfgs["mobilenetv3_large_100"], pretrained=pretrained,
+        arch=_MOBILENETV3_LARGE, act="hard_swish", stem_size=16,
+        fix_stem_head=True, num_features=960, head_hidden=1280,
+        se_from_mid=True, se_gate="hard_sigmoid", drop_path_rate=0.0,
+        **kwargs)
 
 
 @register_model

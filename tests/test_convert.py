@@ -253,3 +253,52 @@ def test_coxt_layer_conversion_parity():
     y_j = model.apply(variables, x_nhwc, training=False)
     y_j_nchw = np.transpose(np.asarray(y_j), (0, 3, 1, 2))
     np.testing.assert_allclose(y_j_nchw, y_t, rtol=2e-4, atol=2e-4)
+
+
+def test_split_attn_conversion_parity():
+    """SplitAttnConv2d radix=1 (the 'SE' of SE-CoTNetD,
+    split_attn.py:31-88) torch -> flax parity."""
+    from cotnet_tpu.nn import SplitAttnConv2d
+
+    in_ch, out_ch = 16, 24
+
+    class TorchSplitAttn(nn.Module):
+        def __init__(self, radix=1):
+            super().__init__()
+            self.radix = radix
+            mid = out_ch * radix
+            attn = max(in_ch * radix // 4, 32)
+            self.conv = nn.Conv2d(in_ch, mid, 3, padding=1, groups=radix,
+                                  bias=False)
+            self.bn0 = nn.BatchNorm2d(mid)
+            self.fc1 = nn.Conv2d(out_ch, attn, 1)
+            self.bn1 = nn.BatchNorm2d(attn)
+            self.fc2 = nn.Conv2d(attn, mid, 1)
+
+        def forward(self, x):
+            x = F.silu(self.bn0(self.conv(x)))  # act swish
+            gap = x.mean((2, 3), keepdim=True)
+            gap = F.silu(self.bn1(self.fc1(gap)))
+            attn = torch.sigmoid(self.fc2(gap))
+            return x * attn
+
+    rng = np.random.RandomState(11)
+    t = TorchSplitAttn()
+    with torch.no_grad():
+        _randomize_bn_stats(t, rng)
+    t.eval()
+    x = rng.randn(2, in_ch, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        y_t = t(torch.tensor(x)).numpy()
+
+    sd = {k: v.numpy() for k, v in t.state_dict().items()}
+    mod = SplitAttnConv2d(out_channels=out_ch, kernel_size=3, padding=1,
+                          radix=1, act="swish")
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    shapes = jax.eval_shape(
+        lambda r, x: mod.init({"params": r}, x, training=False),
+        jax.random.PRNGKey(0), x_nhwc)
+    variables = convert_torch_state_dict(sd, shapes, strict=True)
+    y_j = mod.apply(variables, x_nhwc, training=False)
+    np.testing.assert_allclose(np.transpose(np.asarray(y_j), (0, 3, 1, 2)),
+                               y_t, rtol=2e-4, atol=2e-4)
