@@ -19,8 +19,10 @@ from cotnet_tpu.models import cotnet  # noqa: F401
 from cotnet_tpu.models import efficientnet  # noqa: F401
 from cotnet_tpu.models import cotnet_hybrid  # noqa: F401
 from cotnet_tpu.models import densenet  # noqa: F401
+from cotnet_tpu.models import lambda_net  # noqa: F401
 from cotnet_tpu.models import lr_net  # noqa: F401
 from cotnet_tpu.models import regnet  # noqa: F401
+from cotnet_tpu.models import resnet_dw  # noqa: F401
 from cotnet_tpu.models import res2net  # noqa: F401
 from cotnet_tpu.models import resnest  # noqa: F401
 from cotnet_tpu.models import rexnet  # noqa: F401
