@@ -22,7 +22,10 @@ from cotnet_tpu.models import densenet  # noqa: F401
 from cotnet_tpu.models import lambda_net  # noqa: F401
 from cotnet_tpu.models import lr_net  # noqa: F401
 from cotnet_tpu.models import regnet  # noqa: F401
+from cotnet_tpu.models import psresnet  # noqa: F401
 from cotnet_tpu.models import resnet_dw  # noqa: F401
+from cotnet_tpu.models import resnet_rs  # noqa: F401
+from cotnet_tpu.models import resnetv2  # noqa: F401
 from cotnet_tpu.models import res2net  # noqa: F401
 from cotnet_tpu.models import resnest  # noqa: F401
 from cotnet_tpu.models import rexnet  # noqa: F401
@@ -32,6 +35,7 @@ from cotnet_tpu.models import san  # noqa: F401
 from cotnet_tpu.models import sknet  # noqa: F401
 from cotnet_tpu.models import swin_transformer  # noqa: F401
 from cotnet_tpu.models import vision_transformer  # noqa: F401
+from cotnet_tpu.models import vision_transformer_hybrid  # noqa: F401
 
 from cotnet_tpu.models.cotnet import CotBottleneck, CotLayer, CoXtLayer
 from cotnet_tpu.models.cotnet_hybrid import CotHybridBottleneck

@@ -162,6 +162,7 @@ class Bottleneck(fnn.Module):
     first_dilation: Optional[int] = None
     act: str = "relu"
     attn_layer: Optional[str] = None
+    attn_kwargs: Optional[dict] = None
     aa: bool = False
     drop_block: Optional[Tuple[float, int, float]] = None
     drop_path_rate: float = 0.0
@@ -200,7 +201,7 @@ class Bottleneck(fnn.Module):
         y = self._maybe_drop_block(y, training)
 
         attn = create_attn(self.attn_layer, outplanes, dtype=self.dtype,
-                           name="se")
+                           name="se", **(self.attn_kwargs or {}))
         if attn is not None:
             y = attn(y, training=training)
         if self.drop_path_rate > 0:

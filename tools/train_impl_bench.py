@@ -16,10 +16,11 @@ for impl in ("pallas", "xla"):
     batch = {"image": x, "label": jnp.arange(B, dtype=jnp.int32) % 1000}
     rng = jax.random.PRNGKey(1)
     state, m = step(state, batch, rng)
-    jax.block_until_ready(state.params)
+    # host fetch: the relay can ack block_until_ready early; a transfer can't
+    np.asarray(jax.tree.leaves(state.params)[0]).ravel()[0]
     t0 = time.time(); n = 10
     for _ in range(n):
         state, m = step(state, batch, rng)
-    jax.block_until_ready(state.params)
+    np.asarray(jax.tree.leaves(state.params)[0]).ravel()[0]
     dt = (time.time()-t0)/n
     print(f"{impl}: {dt*1e3:.1f} ms/step -> {B/dt:.1f} img/s (bs{B})", flush=True)
