@@ -23,9 +23,9 @@ TPU-native replacements for the reference's CUDA kernels
   ``[N, heads*kh, Ho, Wo, kw*Cw]`` so a row of taps is addressable by a
   dynamic index on an untiled dim.
 - fp32 accumulation regardless of I/O dtype.
-- The weight gradient uses the XLA patch formulation (pure jnp): its scatter
-  layout doesn't fit Mosaic's static-lane constraint, it fuses well, and the
-  weight tensor is the smallest of the three.
+- All three kernels (forward, input-grad, weight-grad) are Pallas; the
+  weight-grad writes rows of taps into a [heads*kh, Ho, Wo, kw*Cw] layout so
+  its tap index stays on an untiled dim, and the caller transposes back.
 
 Only stride=1 has kernels (every model in the family aggregates at stride 1;
 ``local_agg.local_aggregate`` routes strided cases to the XLA formulation).
@@ -138,6 +138,37 @@ def _dx_kernel(wt_ref, dy_ref, dx_ref, acc_ref, *, kh, kw, dh, dw, heads, g,
     dx_ref[...] = acc_ref[:, ph:ph + hi, pw:pw + wi, :].astype(dx_ref.dtype)
 
 
+def _dw_kernel(x_ref, dy_ref, dwt_ref, xp_ref, *, kh, kw, dh, dw, heads, g,
+               cw, ho, wo, c, ph, pw, hi, wi):
+    """Weight cotangent: dwt[head*kh+ikh, ho, (ikw, cw-flat over wo)] =
+    sum_g xpad_tap * dy (the ``cc += weight_channels`` reduction,
+    aggregation_zeropad.py:99-103).
+
+    Output layout [1, heads*kh, Ho, Wo, kw*Cw]: the row-tap index lands on an
+    untiled dim (dynamic-legal); the tiled dims (Wo, kw*Cw) are written whole
+    per row (no in-kernel relayout — Mosaic rejects flattening shape casts).
+    The caller reshapes/transposes back to [N, Ho, Wo, heads, K^2, Cw]."""
+    _fill_padded(x_ref, xp_ref, ph, pw, hi, wi)
+    out_dtype = dwt_ref.dtype
+    for head in range(heads):
+        dys = dy_ref[:, :, :, head * c:(head + 1) * c].astype(jnp.float32)
+
+        def row(ikh, carry, head=head, dys=dys):
+            for ikw in range(kw):
+                xs = xp_ref[:, pl.ds(ikh * dh, ho),
+                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
+                t = xs * dys
+                acc = t[:, :, :, 0:cw]
+                for gi in range(1, g):
+                    acc = acc + t[:, :, :, gi * cw:(gi + 1) * cw]
+                dwt_ref[:, pl.ds(head * kh + ikh, 1), :, :,
+                        ikw * cw:(ikw + 1) * cw] = (
+                    acc.reshape(1, 1, ho, wo, cw).astype(out_dtype))
+            return carry
+
+        jax.lax.fori_loop(0, kh, row, 0)
+
+
 def _geometry(x_shape, w_shape, kernel_size, dilation, padding):
     n, hi, wi, c = x_shape
     _, ho, wo, heads, k2, cw = w_shape
@@ -203,33 +234,6 @@ def _agg_fwd_impl(x, w, kernel_size, dilation, padding):
     return out
 
 
-def _dw_xla(x, dy, w_shape, kernel_size, dilation, padding):
-    """Weight cotangent via the patch formulation (pure XLA; see module doc).
-
-    dw[n,ho,wo,head,k,cw] = sum_g xpad[n,ho+kh*dh,wo+kw*dw,g*Cw+cw]
-                                  * dy[n,ho,wo,head*C+g*Cw+cw]
-    """
-    from jax import lax
-
-    n, ho, wo, heads, k2, cw = w_shape
-    kh, kw = kernel_size
-    dh, dw_ = dilation
-    ph, pw = padding
-    c = x.shape[-1]
-    g = c // cw
-    xp = jnp.pad(x, [(0, 0), (ph, ph), (pw, pw), (0, 0)]) if (ph or pw) else x
-    taps = []
-    for ikh in range(kh):
-        for ikw in range(kw):
-            taps.append(lax.slice(
-                xp, (0, ikh * dh, ikw * dw_, 0),
-                (n, ikh * dh + ho, ikw * dw_ + wo, c)))
-    patches = jnp.stack(taps, axis=3)  # [N, Ho, Wo, K2, C]
-    patches = patches.reshape(n, ho, wo, 1, k2, g, cw).astype(jnp.float32)
-    dyr = dy.reshape(n, ho, wo, heads, 1, g, cw).astype(jnp.float32)
-    return jnp.sum(patches * dyr, axis=5).astype(x.dtype)
-
-
 def _agg_fwd_rule(x, w, kernel_size, dilation, padding):
     return _agg_fwd_impl(x, w, kernel_size, dilation, padding), (x, w)
 
@@ -253,7 +257,19 @@ def _agg_bwd_rule(kernel_size, dilation, padding, res, dy):
         interpret=_use_interpret(),
     )(wt, dy)
 
-    dw = _dw_xla(x, dy, w.shape, kernel_size, dilation, padding)
+    _, _, _, heads_, k2_, cw_ = w.shape
+    dwt = pl.pallas_call(
+        functools.partial(_dw_kernel, **geo),
+        grid=(n,),
+        in_specs=[_block(x.shape), _block((n, ho, wo, heads * c))],
+        out_specs=_block((n, heads * kh, ho, wo, kw * cw_)),
+        out_shape=jax.ShapeDtypeStruct((n, heads * kh, ho, wo, kw * cw_),
+                                       w.dtype),
+        scratch_shapes=[pltpu.VMEM((1, hp, wp, c), x.dtype)],
+        interpret=_use_interpret(),
+    )(x, dy)
+    dw = dwt.reshape(n, heads_, kh, ho, wo, kw, cw_).transpose(
+        0, 3, 4, 1, 2, 5, 6).reshape(n, ho, wo, heads_, k2_, cw_)
     return dx, dw
 
 
