@@ -15,8 +15,10 @@ from cotnet_tpu.models.registry import (
 
 # importing the model modules populates the registry
 from cotnet_tpu.models import botnet  # noqa: F401
+from cotnet_tpu.models import cait  # noqa: F401
 from cotnet_tpu.models import cotnet  # noqa: F401
 from cotnet_tpu.models import efficientnet  # noqa: F401
+from cotnet_tpu.models import pit  # noqa: F401
 from cotnet_tpu.models import cotnet_hybrid  # noqa: F401
 from cotnet_tpu.models import densenet  # noqa: F401
 from cotnet_tpu.models import lambda_net  # noqa: F401

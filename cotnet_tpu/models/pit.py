@@ -1,0 +1,118 @@
+"""PiT — pooling-based Vision Transformer (reference models/pit.py, 383 LoC):
+conv patch embed with overlap, transformer stages separated by depthwise-conv
+token pooling (cls token pooled by a Dense)."""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from cotnet_tpu.models.helpers import build_model_with_cfg, default_cfg
+from cotnet_tpu.models.registry import register_model
+from cotnet_tpu.models.vision_transformer import Block
+from cotnet_tpu.nn import Conv2d
+
+default_cfgs = {
+    "pit_ti_224": default_cfg(crop_pct=0.9, first_conv="patch_embed.conv",
+                              classifier="head"),
+    "pit_s_224": default_cfg(crop_pct=0.9, first_conv="patch_embed.conv",
+                             classifier="head"),
+    "pit_b_224": default_cfg(crop_pct=0.9, first_conv="patch_embed.conv",
+                             classifier="head"),
+}
+
+
+class PoolingTransformer(fnn.Module):
+    patch_size: int = 16
+    stride: int = 8
+    base_dims: Sequence[int] = (48, 48, 48)
+    depths: Sequence[int] = (2, 6, 4)
+    heads: Sequence[int] = (2, 4, 8)
+    mlp_ratio: float = 4.0
+    num_classes: int = 1000
+    in_chans: int = 3
+    drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: Any = None
+    axis_name: Optional[str] = None
+    features_only: bool = False
+
+    @fnn.compact
+    def __call__(self, x, training: bool = False):
+        n = x.shape[0]
+        dim0 = self.base_dims[0] * self.heads[0]
+        x = Conv2d(dim0, self.patch_size, self.stride, 0, use_bias=True,
+                   dtype=self.dtype,
+                   kernel_init=fnn.initializers.lecun_normal(),
+                   name="patch_embed")(x)
+        gh, gw = x.shape[1], x.shape[2]
+        pos = self.param("pos_embed", fnn.initializers.normal(0.02),
+                         (1, gh, gw, dim0), jnp.float32)
+        x = x + pos.astype(x.dtype)
+        cls = self.param("cls_token", fnn.initializers.normal(0.02),
+                         (1, 1, dim0), jnp.float32)
+        cls_tok = jnp.broadcast_to(cls, (n, 1, dim0)).astype(x.dtype)
+
+        total = sum(self.depths)
+        idx = 0
+        feats = []
+        for si, (bd, depth, h) in enumerate(
+                zip(self.base_dims, self.depths, self.heads)):
+            dim = bd * h
+            if si > 0:
+                # token pooling: dw conv stride 2 on the spatial tokens,
+                # Dense on the cls token (reference pit.py ConvHeadPooling)
+                x = Conv2d(dim, 3, 2, 1, groups=x.shape[-1], use_bias=True,
+                           dtype=self.dtype, name=f"pool{si}_conv")(x)
+                gh, gw = x.shape[1], x.shape[2]
+                cls_tok = fnn.Dense(dim, dtype=self.dtype,
+                                    name=f"pool{si}_fc")(cls_tok)
+            tokens = jnp.concatenate(
+                [cls_tok, x.reshape(n, gh * gw, dim)], axis=1)
+            for bi in range(depth):
+                dpr = self.drop_path_rate * idx / max(total - 1, 1)
+                tokens = Block(h, self.mlp_ratio, True, self.drop_rate, 0.0,
+                               dpr, dtype=self.dtype,
+                               name=f"transformers_{si}_blocks_{bi}")(
+                                   tokens, training)
+                idx += 1
+            cls_tok = tokens[:, :1]
+            x = tokens[:, 1:].reshape(n, gh, gw, dim)
+            feats.append(x)
+        if self.features_only:
+            return feats
+        cls_out = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                name="norm")(cls_tok[:, 0])
+        if self.num_classes > 0:
+            return fnn.Dense(self.num_classes, dtype=self.dtype,
+                             name="head")(cls_out)
+        return cls_out
+
+
+def _pit(model_name, pretrained=False, **kwargs):
+    kwargs.pop("in_chans", None)
+    return build_model_with_cfg(PoolingTransformer, model_name,
+                                default_cfgs[model_name],
+                                pretrained=pretrained, **kwargs)
+
+
+@register_model
+def pit_ti_224(pretrained=False, **kwargs):
+    return _pit("pit_ti_224", pretrained, base_dims=(32, 32, 32),
+                depths=(2, 6, 4), heads=(2, 4, 8), **kwargs)
+
+
+@register_model
+def pit_s_224(pretrained=False, **kwargs):
+    return _pit("pit_s_224", pretrained, base_dims=(48, 48, 48),
+                depths=(2, 6, 4), heads=(3, 6, 12), **kwargs)
+
+
+@register_model
+def pit_b_224(pretrained=False, **kwargs):
+    return _pit("pit_b_224", pretrained, patch_size=14, stride=7,
+                base_dims=(64, 64, 64), depths=(3, 6, 4), heads=(4, 8, 16),
+                **kwargs)
