@@ -16,6 +16,7 @@ from cotnet_tpu.models.registry import (
 # importing the model modules populates the registry
 from cotnet_tpu.models import botnet  # noqa: F401
 from cotnet_tpu.models import cait  # noqa: F401
+from cotnet_tpu.models import convit  # noqa: F401
 from cotnet_tpu.models import cotnet  # noqa: F401
 from cotnet_tpu.models import efficientnet  # noqa: F401
 from cotnet_tpu.models import pit  # noqa: F401
@@ -36,6 +37,7 @@ from cotnet_tpu.models import resnet  # noqa: F401
 from cotnet_tpu.models import san  # noqa: F401
 from cotnet_tpu.models import sknet  # noqa: F401
 from cotnet_tpu.models import swin_transformer  # noqa: F401
+from cotnet_tpu.models import tnt  # noqa: F401
 from cotnet_tpu.models import vision_transformer  # noqa: F401
 from cotnet_tpu.models import vision_transformer_hybrid  # noqa: F401
 
