@@ -16,6 +16,7 @@ from cotnet_tpu.models.registry import (
 # importing the model modules populates the registry
 from cotnet_tpu.models import botnet  # noqa: F401
 from cotnet_tpu.models import cait  # noqa: F401
+from cotnet_tpu.models import coat  # noqa: F401
 from cotnet_tpu.models import convit  # noqa: F401
 from cotnet_tpu.models import cotnet  # noqa: F401
 from cotnet_tpu.models import efficientnet  # noqa: F401
@@ -23,6 +24,7 @@ from cotnet_tpu.models import pit  # noqa: F401
 from cotnet_tpu.models import cotnet_hybrid  # noqa: F401
 from cotnet_tpu.models import densenet  # noqa: F401
 from cotnet_tpu.models import lambda_net  # noqa: F401
+from cotnet_tpu.models import levit  # noqa: F401
 from cotnet_tpu.models import lr_net  # noqa: F401
 from cotnet_tpu.models import regnet  # noqa: F401
 from cotnet_tpu.models import psresnet  # noqa: F401
@@ -38,8 +40,11 @@ from cotnet_tpu.models import san  # noqa: F401
 from cotnet_tpu.models import sknet  # noqa: F401
 from cotnet_tpu.models import swin_transformer  # noqa: F401
 from cotnet_tpu.models import tnt  # noqa: F401
+from cotnet_tpu.models import twins  # noqa: F401
+from cotnet_tpu.models import visformer  # noqa: F401
 from cotnet_tpu.models import vision_transformer  # noqa: F401
 from cotnet_tpu.models import vision_transformer_hybrid  # noqa: F401
+from cotnet_tpu.models import xcit  # noqa: F401
 
 from cotnet_tpu.models.cotnet import CotBottleneck, CotLayer, CoXtLayer
 from cotnet_tpu.models.cotnet_hybrid import CotHybridBottleneck
