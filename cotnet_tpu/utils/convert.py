@@ -168,9 +168,11 @@ def convert_torch_state_dict(
         else:
             raise ValueError(f"unknown param leaf {leaf} at {path}")
         if tuple(val.shape) != tuple(ref.shape):
-            raise ValueError(
-                f"shape mismatch at {'/'.join(map(str, path))}: torch {val.shape} "
-                f"vs flax {tuple(ref.shape)} (torch key {tmod})")
+            if strict:
+                raise ValueError(
+                    f"shape mismatch at {'/'.join(map(str, path))}: torch "
+                    f"{val.shape} vs flax {tuple(ref.shape)} (torch key {tmod})")
+            # non-strict: keep the torch value; ``surgery`` adapts or drops
         out_params[path] = val.astype(np.float32)
 
     for path, ref in flat_b.items():
@@ -193,11 +195,52 @@ def convert_torch_state_dict(
             "batch_stats": unflatten_dict(out_stats)}
 
 
+def adapt_input_conv(kernel: np.ndarray, in_chans: int) -> np.ndarray:
+    """First-conv surgery for in_chans != 3 (reference helpers.py:91-126):
+    1 channel -> sum over RGB; other counts -> tile and rescale.  HWIO."""
+    kh, kw, cin, cout = kernel.shape
+    if in_chans == cin:
+        return kernel
+    if in_chans == 1:
+        return kernel.sum(axis=2, keepdims=True)
+    reps = -(-in_chans // cin)
+    tiled = np.tile(kernel, (1, 1, reps, 1))[:, :, :in_chans]
+    return tiled * (cin / in_chans)
+
+
+def surgery(variables, flax_shapes) -> dict:
+    """Post-conversion surgery: adapt the first conv's input channels and
+    drop classifier weights whose class count mismatches (reference
+    load_pretrained classifier surgery, helpers.py:127-153)."""
+    flat_v = flatten_dict(variables["params"])
+    flat_s = flatten_dict(flax_shapes["params"])
+    out = {}
+    for path, ref in flat_s.items():
+        v = flat_v.get(path)
+        if v is None:
+            continue
+        if tuple(v.shape) != tuple(ref.shape):
+            if v.ndim == 4 and v.shape[:2] == tuple(ref.shape[:2]) \
+                    and v.shape[3] == ref.shape[3]:
+                v = adapt_input_conv(np.asarray(v), ref.shape[2])
+            else:
+                continue  # classifier mismatch: keep the fresh init
+        out[path] = v
+    return {"params": unflatten_dict(out),
+            "batch_stats": variables.get("batch_stats", {})}
+
+
 def convert_torch_checkpoint(path: str, flax_variables, model_name: str = "",
-                             use_ema: bool = False, strict: bool = True):
+                             use_ema: bool = False, strict: bool = True,
+                             in_chans: int = 3):
     """File-level convenience: torch .pth.tar -> flax variables."""
     sd = load_torch_checkpoint(path, use_ema=use_ema)
     avg_down = "cotnetd" in model_name or model_name.endswith("d")
     dw_group = 2 if "cotnext" in model_name else 1
-    return convert_torch_state_dict(sd, flax_variables, avg_down=avg_down,
-                                    dw_group=dw_group, strict=strict)
+    converted = convert_torch_state_dict(sd, flax_variables,
+                                         avg_down=avg_down,
+                                         dw_group=dw_group,
+                                         strict=strict and in_chans == 3)
+    if in_chans != 3:
+        converted = surgery(converted, flax_variables)
+    return converted

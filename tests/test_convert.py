@@ -302,3 +302,29 @@ def test_split_attn_conversion_parity():
     y_j = mod.apply(variables, x_nhwc, training=False)
     np.testing.assert_allclose(np.transpose(np.asarray(y_j), (0, 3, 1, 2)),
                                y_t, rtol=2e-4, atol=2e-4)
+
+
+def test_input_conv_and_classifier_surgery():
+    """in_chans adaptation + classifier mismatch handling
+    (reference load_pretrained surgery, helpers.py:91-153)."""
+    from cotnet_tpu.utils.convert import adapt_input_conv, surgery
+
+    k = np.random.RandomState(0).randn(7, 7, 3, 8).astype(np.float32)
+    k1 = adapt_input_conv(k, 1)
+    np.testing.assert_allclose(k1[..., 0, :], k.sum(2), rtol=1e-6)
+    k4 = adapt_input_conv(k, 4)
+    assert k4.shape == (7, 7, 4, 8)
+    # tiled channels carry the 3/4 rescale
+    np.testing.assert_allclose(k4[..., 0, :], k[..., 0, :] * 0.75, rtol=1e-6)
+
+    variables = {"params": {"conv1": {"kernel": k},
+                            "head": {"fc": {"kernel": np.ones((8, 1000)),
+                                            "bias": np.zeros(1000)}}},
+                 "batch_stats": {}}
+    shapes = {"params": {"conv1": {"kernel": np.zeros((7, 7, 1, 8))},
+                         "head": {"fc": {"kernel": np.zeros((8, 10)),
+                                         "bias": np.zeros(10)}}}}
+    out = surgery(variables, shapes)
+    assert out["params"]["conv1"]["kernel"].shape == (7, 7, 1, 8)
+    # mismatched classifier dropped (fresh init kept by the caller)
+    assert "kernel" not in out["params"].get("head", {}).get("fc", {})
