@@ -1,6 +1,7 @@
 from cotnet_tpu.models.factory import create_model
 from cotnet_tpu.models.helpers import (
     build_model_with_cfg,
+    get_feature_info,
     get_model_default_cfg,
     resolve_data_config,
 )

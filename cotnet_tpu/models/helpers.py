@@ -66,6 +66,25 @@ def build_model_with_cfg(
     return model
 
 
+def get_feature_info(model, input_size: int = 224):
+    """Per-stage feature metadata (reference models/features.py FeatureInfo):
+    [{'num_chs', 'reduction'}] derived from a shape-only trace of the model's
+    ``features_only`` outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    feat_model = model.clone(features_only=True)
+    x = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda r, x: feat_model.init({"params": r}, x, training=False),
+        jax.random.PRNGKey(0), x)
+    outs = jax.eval_shape(
+        lambda v, x: feat_model.apply(v, x, training=False), shapes, x)
+    return [{"num_chs": int(o.shape[-1]),
+             "reduction": int(round(input_size / o.shape[1]))}
+            for o in outs]
+
+
 def resolve_data_config(args: Optional[dict] = None, model_name: Optional[str] = None,
                         default_cfg_override: Optional[dict] = None,
                         use_test_size: bool = False) -> dict:
