@@ -35,18 +35,27 @@ IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
 def make_device_augment(mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD,
                         rand_augment: Optional[RandAugment] = None,
                         random_erasing: Optional[RandomErasing] = None,
-                        dtype=jnp.float32):
-    """Build the jitted uint8-batch -> normalized-batch device function."""
+                        dtype=jnp.float32, num_aug_splits: int = 0):
+    """Build the jitted uint8-batch -> normalized-batch device function.
+
+    ``num_aug_splits`` > 1 produces [clean; aug_1; ...; aug_{S-1}] stacked on
+    the batch dim (the AugMixDataset arrangement, dataset.py:181-218) for JSD
+    consistency training — the clean split skips the policy augmentation."""
     mean = jnp.asarray(mean, jnp.float32) * 255.0
     std = jnp.asarray(std, jnp.float32) * 255.0
 
     @jax.jit
     def device_augment(rng, batch_u8):
         x = batch_u8.astype(jnp.float32)
-        if rand_augment is not None:
-            k1, k2 = jax.random.split(rng)
-            x = rand_augment(k1, x)
-            rng = k2
+        if num_aug_splits > 1 and rand_augment is not None:
+            splits = [x]
+            for i in range(num_aug_splits - 1):
+                rng, k = jax.random.split(rng)
+                splits.append(rand_augment(k, x))
+            x = jnp.concatenate(splits, axis=0)
+        elif rand_augment is not None:
+            rng, k = jax.random.split(rng)
+            x = rand_augment(k, x)
         x = (x - mean) / std
         if random_erasing is not None:
             x = random_erasing(rng, x)
@@ -144,7 +153,8 @@ class Loader:
             re_ = (RandomErasing(reprob, mode=remode, count=recount,
                                  num_splits=num_aug_splits)
                    if reprob > 0 else None)
-            self.device_augment = make_device_augment(mean, std, ra, re_, dtype)
+            self.device_augment = make_device_augment(
+                mean, std, ra, re_, dtype, num_aug_splits=num_aug_splits)
         else:
             dataset.transform = create_eval_transform(
                 image_size, crop_pct,

@@ -153,7 +153,8 @@ def main(argv=None):
     schedule_fn, num_epochs = create_scheduler(solver, steps_per_epoch)
     tx = create_optimizer(solver, schedule_fn)
 
-    mixup_active = (cfg.augmentation.mixup > 0 or cfg.augmentation.cutmix > 0)
+    mixup_active = ((cfg.augmentation.mixup > 0 or cfg.augmentation.cutmix > 0)
+                    and not cfg.loss.jsd)  # JSD trains on hard labels
     loss_cfg = dict(cfg.loss)
     loss_cfg["aug_splits"] = cfg.augmentation.aug_splits
     train_loss, _ = create_loss_fn(loss_cfg, mixup_active)

@@ -166,7 +166,12 @@ def convert_torch_state_dict(
                 continue
             val = v[_kmajor_perm(v.shape[0], k2, dw_group)] if is_embed_producer else v
         else:
-            raise ValueError(f"unknown param leaf {leaf} at {path}")
+            # direct nn.Parameter (pos_h/pos_w, rel_emb_*, gating, gamma_*,
+            # embeddings, cls_token, ...): copy verbatim
+            tkey = f"{tmod}.{leaf}" if tmod else leaf
+            val = fetch(tkey)
+            if val is None:
+                continue
         if tuple(val.shape) != tuple(ref.shape):
             if strict:
                 raise ValueError(

@@ -328,3 +328,72 @@ def test_input_conv_and_classifier_surgery():
     assert out["params"]["conv1"]["kernel"].shape == (7, 7, 1, 8)
     # mismatched classifier dropped (fresh init kept by the caller)
     assert "kernel" not in out["params"].get("head", {}).get("fc", {})
+
+
+class TorchSelfAttOracle(nn.Module):
+    """LR-Net SelfAttLayer oracle (reference lr_net.py:39-100 naming/math)."""
+
+    def __init__(self, dim, ks=3):
+        super().__init__()
+        self.dim, self.ks = dim, ks
+        self.head_num = dim // 8
+        self.conv_q = nn.Sequential(nn.Conv2d(dim, dim, 1, bias=False),
+                                    nn.BatchNorm2d(dim), nn.ReLU())
+        self.conv_k = nn.Sequential(nn.Conv2d(dim, dim, 1, bias=False),
+                                    nn.BatchNorm2d(dim), nn.ReLU())
+        self.conv_v = nn.Sequential(nn.Conv2d(dim, dim, 1, bias=False),
+                                    nn.BatchNorm2d(dim))
+        self.pos_h = nn.Parameter(torch.randn(dim, ks, 1))
+        self.pos_w = nn.Parameter(torch.randn(dim, 1, ks))
+        self.bn = nn.BatchNorm2d(dim)
+
+    def forward(self, x):
+        B, C, H, W = x.shape
+        ks, hn = self.ks, self.head_num
+        q, k, v = self.conv_q(x), self.conv_k(x), self.conv_v(x)
+        unfold_k = F.unfold(k, ks, 1, ks // 2).view(B, -1, ks * ks, H, W)
+        pos = (self.pos_h + self.pos_w).view(1, -1, ks * ks, 1, 1)
+        kp = unfold_k + pos
+        qv = q.view(B, hn, -1, 1, H, W)
+        kpv = kp.view(B, hn, -1, ks * ks, H, W)
+        attn = F.softmax((qv * kpv).sum(2), dim=2)
+        w = attn.view(B, 1, -1, ks * ks, H, W)
+        patches = F.unfold(v, ks, 1, ks // 2).view(
+            B, C // hn, hn, ks * ks, H, W)
+        y = (w.unsqueeze(2) * patches.unsqueeze(1)).sum(-3).view(B, C, H, W)
+        return F.relu(self.bn(y))
+
+
+def test_lrnet_selfatt_conversion_parity():
+    from cotnet_tpu.models.lr_net import SelfAttLayer
+
+    dim = 16
+    rng = np.random.RandomState(3)
+    t = TorchSelfAttOracle(dim)
+    with torch.no_grad():
+        _randomize_bn_stats(t, rng)
+    t.eval()
+    x = rng.randn(2, dim, 7, 7).astype(np.float32)
+    with torch.no_grad():
+        y_t = t(torch.tensor(x)).numpy()
+
+    sd = {k: v.numpy() for k, v in t.state_dict().items()}
+    # flax names conv_q/bn_q etc. map to torch Sequential indices
+    remap = {}
+    for base in ("q", "k", "v"):
+        remap[f"conv_{base}.weight"] = sd.pop(f"conv_{base}.0.weight")
+        for leaf in ("weight", "bias", "running_mean", "running_var"):
+            key = f"conv_{base}.1.{leaf}"
+            if key in sd:
+                remap[f"bn_{base}.{leaf}"] = sd.pop(key)
+    sd.update(remap)
+
+    mod = SelfAttLayer(dim=dim, kernel_size=3, key_ks=1)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    shapes = jax.eval_shape(
+        lambda r, x: mod.init({"params": r}, x, training=False),
+        jax.random.PRNGKey(0), x_nhwc)
+    variables = convert_torch_state_dict(sd, shapes, strict=True)
+    y_j = mod.apply(variables, x_nhwc, training=False)
+    np.testing.assert_allclose(np.transpose(np.asarray(y_j), (0, 3, 1, 2)),
+                               y_t, rtol=5e-4, atol=5e-4)

@@ -104,3 +104,16 @@ def test_device_augment_normalizes():
     out = aug(jax.random.PRNGKey(0), batch)
     # (128 - 255*mean) / (255*std) for channel 0: (128-123.675)/58.395
     np.testing.assert_allclose(np.asarray(out[0, 0, 0, 0]), 0.0740, atol=1e-3)
+
+
+def test_aug_splits_device_path(image_tree):
+    """aug_splits>1: batch becomes [clean; aug; aug] for JSD training."""
+    ds = ImageFolderDataset(image_tree)
+    loader = Loader(ds, batch_size=4, train=True, image_size=32, workers=2,
+                    auto_augment="rand-m9-n1", num_aug_splits=3, seed=2)
+    b = next(iter(loader))
+    assert b["image"].shape == (12, 32, 32, 3)
+    assert b["label"].shape == (4,)
+    img = np.asarray(b["image"])
+    # clean split differs from augmented splits (at least sometimes)
+    assert not np.allclose(img[:4], img[4:8])
