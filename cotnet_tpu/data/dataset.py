@@ -126,6 +126,13 @@ class TarDataset:
             img = self.transform(img)
         return img, target
 
+    def filename(self, idx, basename=False):
+        name = self.samples[idx][0].name
+        return os.path.basename(name) if basename else name
+
+    def filenames(self, basename=False):
+        return [self.filename(i, basename) for i in range(len(self))]
+
 
 class AugMixDataset:
     """Wrap a dataset to yield (num_splits) views per sample: the first is

@@ -263,7 +263,11 @@ class ResNet(fnn.Module):
     @fnn.compact
     def __call__(self, x, training: bool = False):
         assert self.output_stride in (8, 16, 32)
-        block_args = dict(self.block_args or {})
+        # drop args the block type doesn't declare (e.g. the CoT-only
+        # ``impl`` kernel selector reaching a plain BasicBlock via the
+        # config's model.kernel_impl knob)
+        block_args = {k: v for k, v in (self.block_args or {}).items()
+                      if k in self.block.__dataclass_fields__}
         stem_act = get_act_fn(self.stem_act or self.act)
 
         # --- stem ---

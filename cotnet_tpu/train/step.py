@@ -106,7 +106,8 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, use_ema: bool = False, tta_hflip: bool = False):
+def make_eval_step(model, use_ema: bool = False, tta_hflip: bool = False,
+                   return_topk: bool = False):
     """Top-1/top-5 correct counts (reference utils/meters.py:12-19); summed
     across the data mesh automatically under GSPMD.  ``tta_hflip`` averages
     logits with the horizontally flipped view (reference tta config knob)."""
@@ -126,10 +127,13 @@ def make_eval_step(model, use_ema: bool = False, tta_hflip: bool = False):
         correct1 = (top5[:, 0] == labels).astype(jnp.float32) * valid
         correct5 = jnp.any(top5 == labels[:, None], axis=1
                            ).astype(jnp.float32) * valid
-        return {
+        out = {
             "top1_count": jnp.sum(correct1),
             "top5_count": jnp.sum(correct5),
             "n": jnp.sum(valid),
         }
+        if return_topk:  # for ReaL-labels scoring (real_labels.py)
+            out["topk"] = top5
+        return out
 
     return jax.jit(eval_step)

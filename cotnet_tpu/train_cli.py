@@ -32,6 +32,9 @@ def parse_args(argv=None):
     p.add_argument("--epochs", type=int, default=0,
                    help="override solver.epochs")
     p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--real-labels", default="",
+                   help="path to ImageNet ReaL real.json (eval-only; "
+                        "reference validate.py --real-labels)")
     p.add_argument("--img-size", type=int, default=0,
                    help="override input resolution (smoke mode)")
     p.add_argument("--batch-size", type=int, default=0,
@@ -216,12 +219,22 @@ def main(argv=None):
             mixup_fn=None)
 
     tta = bool(cfg.augmentation.tta)
-    evaler = Evaler(model, val_loader, logger, tta_hflip=tta)
+    real_labels = None
+    if args.real_labels:
+        from cotnet_tpu.data.real_labels import RealLabelsImagenet
+        real_labels = RealLabelsImagenet(
+            val_loader.dataset.filenames(basename=True),
+            real_json=args.real_labels)
+    evaler = Evaler(model, val_loader, logger, tta_hflip=tta,
+                    real_labels=real_labels)
     evaler_ema = (Evaler(model, val_loader, logger, use_ema=True,
                          tta_hflip=tta) if ema else None)
 
     if args.eval_only:
-        evaler(start_epoch, state)
+        results = evaler(start_epoch, state)
+        if "real_top1" in results:
+            logger_info(logger, f"ReaL top1 {results['real_top1']:.3f} "
+                                f"top5 {results['real_top5']:.3f}")
         return
 
     if cfg.solver.start_epoch is not None and not start_epoch:

@@ -49,6 +49,9 @@ def test_tar_dataset(image_tree, tmp_path):
     assert len(ds) == 20
     img, target = ds[0]
     assert img.mode == "RGB"
+    # filenames() parity with ImageFolderDataset (ReaL-labels eval needs it)
+    names = ds.filenames(basename=True)
+    assert len(names) == 20 and names[0].endswith(".png")
 
 
 def test_augmix_dataset(image_tree):

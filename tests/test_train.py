@@ -170,6 +170,56 @@ def test_eval_step_counts():
     assert 0 <= float(m["top1_count"]) <= float(m["top5_count"]) <= 6.0
 
 
+def test_evaler_real_labels(tmp_path):
+    """ReaL re-labeled evaluation plumbed through the Evaler
+    (reference datasets/real_labels.py + validate.py --real-labels)."""
+    import json
+
+    from cotnet_tpu.data.real_labels import RealLabelsImagenet
+    from cotnet_tpu.evaler import Evaler
+
+    # 6 real val images; the first 4 accept every class (=> always correct),
+    # the last 2 accept none (no annotation -> skipped, like the reference)
+    real = [[0, 1, 2, 3]] * 4 + [[]] * 2
+    rj = tmp_path / "real.json"
+    rj.write_text(json.dumps(real))
+    filenames = [f"ILSVRC2012_val_{i + 1:08d}.JPEG" for i in range(6)]
+    rl = RealLabelsImagenet(filenames, real_json=str(rj))
+
+    model = TinyNet()
+    state, _ = _make_state_and_step(model)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 8, 3))
+    batch = {"image": x, "label": jnp.arange(8) % 4,
+             "valid": jnp.asarray([1.0] * 6 + [0.0] * 2)}  # 2 padding rows
+    evaler = Evaler(model, [batch], real_labels=rl)
+    results = evaler(0, state)
+    # padding rows dropped: exactly 6 samples consumed, 4 scored
+    assert rl.sample_idx == 6
+    assert len(rl.is_correct[1]) == 4
+    assert results["real_top1"] == 100.0 and results["real_top5"] == 100.0
+    assert results["samples"] == 6.0
+
+
+def test_real_labels_logits_path(tmp_path):
+    """add_result also accepts raw logits [N, K>5] and argsorts them."""
+    import json
+
+    from cotnet_tpu.data.real_labels import RealLabelsImagenet
+
+    real = [[7], [3]]
+    rj = tmp_path / "real.json"
+    rj.write_text(json.dumps(real))
+    rl = RealLabelsImagenet([f"ILSVRC2012_val_{i + 1:08d}.JPEG"
+                             for i in range(2)], real_json=str(rj))
+    logits = np.zeros((2, 10), np.float32)
+    logits[0, 7] = 5.0   # top-1 hit
+    logits[1, 9] = 5.0   # top-1 miss ...
+    logits[1, 3] = 4.0   # ... but top-5 hit
+    rl.add_result(logits)
+    assert rl.get_accuracy(1) == 50.0
+    assert rl.get_accuracy(5) == 100.0
+
+
 def test_sharded_train_step_matches_single_device():
     """Global-batch semantics: the sharded step must produce the same loss
     and updated params as the unsharded one (GSPMD inserts collectives)."""
