@@ -136,7 +136,7 @@ class Loader:
                  auto_augment: Optional[str] = None,
                  reprob: float = 0.0, remode: str = "pixel", recount: int = 1,
                  num_aug_splits: int = 0, dtype=jnp.float32, seed: int = 0,
-                 mesh=None):
+                 mesh=None, tf_preprocessing: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.train = train
@@ -145,9 +145,19 @@ class Loader:
         self.epoch = 0
         self.mesh = mesh
         if train:
-            dataset.transform = create_train_transform(
-                image_size, scale, ratio, hflip, vflip, interpolation,
-                color_jitter=None if auto_augment else color_jitter)
+            if tf_preprocessing:
+                # TF-graph-parity host transform (reference loader.py:155,
+                # transforms_factory.py:196-198); policy augments still
+                # apply on device below
+                from cotnet_tpu.data.tf_preprocessing import TfTrainPreprocess
+                dataset.transform = TfTrainPreprocess(
+                    image_size, hflip=hflip,
+                    interpolation=interpolation
+                    if interpolation != "random" else "bicubic")
+            else:
+                dataset.transform = create_train_transform(
+                    image_size, scale, ratio, hflip, vflip, interpolation,
+                    color_jitter=None if auto_augment else color_jitter)
             from cotnet_tpu.data.auto_augment import create_batch_augment
             ra = create_batch_augment(auto_augment)
             re_ = (RandomErasing(reprob, mode=remode, count=recount,
@@ -156,9 +166,15 @@ class Loader:
             self.device_augment = make_device_augment(
                 mean, std, ra, re_, dtype, num_aug_splits=num_aug_splits)
         else:
-            dataset.transform = create_eval_transform(
-                image_size, crop_pct,
-                interpolation if interpolation != "random" else "bicubic")
+            if tf_preprocessing:
+                from cotnet_tpu.data.tf_preprocessing import TfEvalPreprocess
+                dataset.transform = TfEvalPreprocess(
+                    image_size,
+                    interpolation if interpolation != "random" else "bicubic")
+            else:
+                dataset.transform = create_eval_transform(
+                    image_size, crop_pct,
+                    interpolation if interpolation != "random" else "bicubic")
             self.device_augment = make_device_augment(mean, std, None, None,
                                                       dtype)
 

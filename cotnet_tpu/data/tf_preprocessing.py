@@ -1,31 +1,135 @@
-"""TF-style eval preprocessing (reference datasets/tf_preprocessing.py:1-236).
+"""TF-style preprocessing, both train and eval, without a TF dependency
+(reference datasets/tf_preprocessing.py:36-236 embeds an actual TF graph).
 
-The reference embeds a TensorFlow graph to reproduce TF-trained models'
-preprocessing exactly.  TF eval preprocessing is: central crop of fraction
-``central_fraction`` (0.875), then bicubic resize to the target size —
-reproduced here with PIL (no TF dependency), which matches to within
-interpolation rounding.
+Eval (reference ``_decode_and_center_crop``, tf_preprocessing.py:117-135):
+square center crop of side ``round(size/(size+CROP_PADDING) * min(h, w))``
+with the TF ``(delta+1)//2`` offset rounding, then resize to (size, size).
+Note this is a *square* crop of the min side — not an independent 0.875
+fraction per axis.
+
+Train (reference ``_decode_and_random_crop``, tf_preprocessing.py:95-114):
+``tf.image.sample_distorted_bounding_box`` semantics over the whole image —
+up to ``max_attempts`` tries sampling (aspect ratio, area, offset) under the
+(aspect_ratio_range, area_range, min_object_covered) constraints; on failure
+fall back to the eval center crop.  Then resize and random hflip.  RNG bit
+parity with TF is impossible (different generators); the sampled crop
+*distribution* follows the same algorithm as TF's
+sample_distorted_bounding_box kernel.
 """
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
+
+CROP_PADDING = 32  # reference tf_preprocessing.py:33
+
+
+def _interp(name):
+    from cotnet_tpu.data.transforms import _interp as interp
+
+    return interp(name)
+
+
+def tf_center_crop_box(width: int, height: int, size: int):
+    """The TF eval crop window (left, top, side)."""
+    side = int((size / (size + CROP_PADDING)) * min(width, height))
+    top = ((height - side) + 1) // 2
+    left = ((width - side) + 1) // 2
+    return left, top, side
 
 
 class TfEvalPreprocess:
-    def __init__(self, size: int, central_fraction: float = 0.875,
-                 interpolation: str = "bicubic"):
+    def __init__(self, size: int, interpolation: str = "bicubic",
+                 central_fraction: float = None):
+        # central_fraction kept for API compat; the TF path derives the
+        # fraction from CROP_PADDING (224 -> 224/256 = 0.875 of min side)
         self.size = size
-        self.central_fraction = central_fraction
         self.interpolation = interpolation
 
     def __call__(self, img):
-        from cotnet_tpu.data.transforms import _interp
-
         w, h = img.size
-        cw = int(round(w * self.central_fraction))
-        ch = int(round(h * self.central_fraction))
-        left, top = (w - cw) // 2, (h - ch) // 2
+        left, top, side = tf_center_crop_box(w, h, self.size)
+        img = img.crop((left, top, left + side, top + side))
+        img = img.resize((self.size, self.size), _interp(self.interpolation))
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
+class TfTrainPreprocess:
+    """Inception-style distorted-bbox crop with TF's sampling algorithm
+    (sample_distorted_bounding_box over the full-image bbox) + hflip."""
+
+    def __init__(self, size: int, interpolation: str = "bicubic",
+                 area_range=(0.08, 1.0), aspect_ratio_range=(3 / 4, 4 / 3),
+                 min_object_covered: float = 0.1, max_attempts: int = 10,
+                 hflip: float = 0.5, rng: np.random.RandomState = None):
+        self.size = size
+        self.interpolation = interpolation
+        self.area_range = area_range
+        self.aspect_ratio_range = aspect_ratio_range
+        self.min_object_covered = min_object_covered
+        self.max_attempts = max_attempts
+        self.hflip = hflip
+        self.rng = rng or np.random.RandomState()
+
+    def _sample_crop(self, width: int, height: int):
+        """One (left, top, w, h) sample or None — TF's generator: sample an
+        aspect ratio, derive the valid height interval from the area bounds,
+        sample a height, then an offset; reject on constraint violation."""
+        rng = self.rng
+        area = float(width * height)
+        min_a, max_a = self.area_range
+        for _ in range(self.max_attempts):
+            ar = rng.uniform(*self.aspect_ratio_range)  # ar = w/h
+            # crop_w = ar * crop_h; area bounds give the h interval
+            hmin = int(math.ceil(math.sqrt(min_a * area / ar)))
+            hmax = int(math.floor(math.sqrt(max_a * area / ar)))
+            hmax = min(hmax, height)
+            if hmin > hmax:
+                continue
+            ch = int(rng.randint(hmin, hmax + 1))
+            cw = int(round(ch * ar))
+            if cw > width or cw <= 0 or ch <= 0:
+                continue
+            # min_object_covered vs the whole-image bbox: the crop (inside
+            # the image) must cover >= fraction of the image area
+            if cw * ch < self.min_object_covered * area:
+                continue
+            top = int(rng.randint(0, height - ch + 1))
+            left = int(rng.randint(0, width - cw + 1))
+            return left, top, cw, ch
+        return None
+
+    def __call__(self, img):
+        w, h = img.size
+        box = self._sample_crop(w, h)
+        if box is None:
+            # reference `bad` branch (tf_preprocessing.py:110-114)
+            left, top, side = tf_center_crop_box(w, h, self.size)
+            cw = ch = side
+        else:
+            left, top, cw, ch = box
         img = img.crop((left, top, left + cw, top + ch))
         img = img.resize((self.size, self.size), _interp(self.interpolation))
-        return np.asarray(img, dtype=np.uint8)
+        if self.hflip and self.rng.uniform() < self.hflip:
+            from PIL import Image
+
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
+class TfPreprocessTransform:
+    """Dispatcher mirroring the reference class (tf_preprocessing.py:208-236)
+    minus the TF session; returns HWC uint8 (our loaders collate HWC —
+    the reference emits CHW for torch)."""
+
+    def __init__(self, is_training: bool = False, size=224,
+                 interpolation: str = "bicubic"):
+        size = size[0] if isinstance(size, (tuple, list)) else size
+        self.transform = (TfTrainPreprocess(size, interpolation)
+                          if is_training else
+                          TfEvalPreprocess(size, interpolation))
+
+    def __call__(self, img):
+        return self.transform(img)

@@ -182,6 +182,10 @@ def local_aggregate(
     if (ho, wo) != tuple(w.shape[1:3]):
         raise ValueError(f"weight spatial {w.shape[1:3]} != derived output ({ho},{wo})")
 
+    if impl == "identity":
+        # profiling ablation: skip the aggregation entirely (tools/infer_ablate)
+        heads = w.shape[3]
+        return jnp.tile(x[:, ::stride[0], ::stride[1], :], (1, 1, 1, heads))
     use_pallas = impl == "pallas" or (
         impl == "auto" and stride == (1, 1) and jax.default_backend() == "tpu"
     )

@@ -93,6 +93,59 @@ def test_eval_loader_pads_and_masks(image_tree):
     assert float(jnp.sum(batches[0]["valid"])) == 16.0
 
 
+def test_tf_preprocessing():
+    """TF-graph semantics without TF: eval uses the CROP_PADDING square
+    center crop of the min side; train samples constrained distorted crops
+    with a center-crop fallback (reference tf_preprocessing.py:36-135)."""
+    from cotnet_tpu.data.tf_preprocessing import (
+        TfEvalPreprocess, TfPreprocessTransform, TfTrainPreprocess,
+        tf_center_crop_box)
+
+    # eval crop window: side = size/(size+32) * min(h,w), (delta+1)//2 offset
+    left, top, side = tf_center_crop_box(640, 480, 224)
+    assert side == int(224 / 256 * 480) == 420
+    assert top == (480 - 420 + 1) // 2 and left == (640 - 420 + 1) // 2
+
+    img = Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (480, 640, 3), np.uint8))
+    out = TfEvalPreprocess(224)(img)
+    assert out.shape == (224, 224, 3) and out.dtype == np.uint8
+
+    # train: sampled crops satisfy area / aspect / coverage constraints
+    tp = TfTrainPreprocess(224, rng=np.random.RandomState(0))
+    area = 640 * 480
+    for _ in range(50):
+        box = tp._sample_crop(640, 480)
+        if box is None:
+            continue
+        left, top, cw, ch = box
+        assert 0 <= left and left + cw <= 640 and 0 <= top and top + ch <= 480
+        assert cw * ch >= 0.1 * area  # min_object_covered
+        assert 0.74 <= cw / ch <= 1.34  # aspect_ratio_range (+rounding)
+    assert tp(img).shape == (224, 224, 3)
+
+    # impossible constraints -> fallback center crop still yields the size
+    tp_bad = TfTrainPreprocess(224, area_range=(0.9, 1.0),
+                               aspect_ratio_range=(3.0, 3.1), max_attempts=3,
+                               rng=np.random.RandomState(0))
+    assert tp_bad._sample_crop(640, 480) is None
+    assert tp_bad(img).shape == (224, 224, 3)
+
+    # dispatcher parity with the reference class
+    assert TfPreprocessTransform(True, (224, 224))(img).shape == (224, 224, 3)
+
+
+def test_loader_tf_preprocessing(image_tree):
+    ds = ImageFolderDataset(image_tree)
+    loader = Loader(ds, batch_size=8, train=True, image_size=32, workers=2,
+                    tf_preprocessing=True, seed=1)
+    b = next(iter(loader))
+    assert b["image"].shape == (8, 32, 32, 3)
+    val = Loader(ImageFolderDataset(image_tree), batch_size=8, train=False,
+                 image_size=32, workers=2, tf_preprocessing=True)
+    assert next(iter(val))["image"].shape == (8, 32, 32, 3)
+
+
 def test_synthetic_loader():
     loader = SyntheticLoader(batch_size=4, image_size=16, num_classes=10,
                              steps=3)
