@@ -15,17 +15,22 @@ TPU-native replacements for the reference's CUDA kernels
 - **Full-lane FMAs.**  The op shares Cw weight channels across G = C/Cw
   groups; slicing per group would run the VPU at Cw/128 lanes (6% at
   stage 1), so each weight tap is lane-tiled to the full C width once.
-- **Mosaic-legal loop structure.**  W (sublane) and channel (lane) offsets
-  must be static; row (H) offsets may be dynamic.  The kernel fori-loops
-  over kernel rows — keeping ONE set of fp32 temporaries live, where a fully
-  unrolled K^2 loop exceeds the 16 MB scoped-VMEM limit — and unrolls the kw
-  column taps.  The caller pre-transposes the weight to
-  ``[N, heads*kh, Ho, Wo, kw*Cw]`` so a row of taps is addressable by a
-  dynamic index on an untiled dim.
-- fp32 accumulation regardless of I/O dtype.
+- **Native weight layout, zero relayout traffic.**  The weight tensor is
+  consumed exactly as the model's embed conv produces it — k-major flat
+  channels ``[N, Ho, Wo, heads*K^2*Cw]`` (a trailing-dims reshape of the
+  public ``[N, Ho, Wo, heads, K^2, Cw]``, which XLA treats as a bitcast).
+  Every tap is a *static* lane slice at ``(head*K^2 + k) * Cw``; the K^2 tap
+  loop is fully unrolled so no dynamic index ever lands on a tiled dim.  An
+  earlier revision fori-looped over kernel rows and pre-transposed the weight
+  to ``[N, heads*kh, Ho, Wo, kw*Cw]`` to keep the dynamic row index on an
+  untiled dim — that transpose cost 2x HBM traffic on the largest tensor
+  (the weight is K^2/G the size of the image) and was ~35%% of the op's
+  runtime at batch 128.
+- fp32 accumulation regardless of I/O dtype (single accumulator chain keeps
+  one pair of fp32 temporaries live; VMEM stays well under the scoped limit).
 - All three kernels (forward, input-grad, weight-grad) are Pallas; the
-  weight-grad writes rows of taps into a [heads*kh, Ho, Wo, kw*Cw] layout so
-  its tap index stays on an untiled dim, and the caller transposes back.
+  weight-grad writes straight into the same flat k-major layout, so the
+  backward pass needs no relayout either.
 
 Only stride=1 has kernels (every model in the family aggregates at stride 1;
 ``local_agg.local_aggregate`` routes strided cases to the XLA formulation).
@@ -59,20 +64,48 @@ def _tiled_bytes(shape, itemsize) -> int:
     return n * w_pad * c_pad * itemsize
 
 
-def fits_vmem(x_shape, w_shape, itemsize, padding=(0, 0)) -> bool:
-    """Single-image working set (I/O blocks x double buffering + the padded
-    scratch and fp32 accumulators) against the VMEM budget; callers fall
-    back to XLA beyond it."""
+def _working_set(x_shape, w_shape, itemsize, padding, m) -> int:
+    """VMEM bytes for an m-image block: I/O blocks x double buffering + the
+    padded scratch and fp32 accumulators."""
     n, hi, wi, c = x_shape
     _, ho, wo, heads, k2, cw = w_shape
-    kh = int(round(k2 ** 0.5))
     hp, wp = hi + 2 * padding[0], wi + 2 * padding[1]
-    bufs = (_tiled_bytes((1, hi, wi, c), itemsize)
-            + _tiled_bytes((1, heads * kh, ho, wo, (k2 // kh) * cw), itemsize)
-            + _tiled_bytes((1, ho, wo, heads * c), itemsize))
-    scratch = (_tiled_bytes((1, hp, wp, c), itemsize)      # padded copy
-               + 4 * _tiled_bytes((1, hp, wp, c), 4))      # fp32 temps
-    return 2 * bufs + scratch <= _VMEM_BUDGET_BYTES
+    bufs = (_tiled_bytes((m, hi, wi, c), itemsize)
+            + _tiled_bytes((m, ho, wo, heads * k2 * cw), itemsize)
+            + _tiled_bytes((m, ho, wo, heads * c), itemsize))
+    scratch = (_tiled_bytes((m, hp, wp, c), itemsize)      # padded copy
+               + 4 * _tiled_bytes((m, hp, wp, c), 4))      # live fp32 temps
+    return 2 * bufs + scratch
+
+
+def fits_vmem(x_shape, w_shape, itemsize, padding=(0, 0)) -> bool:
+    """Single-image working set against the VMEM budget; callers fall back
+    to XLA beyond it."""
+    return _working_set(x_shape, w_shape, itemsize, padding,
+                        1) <= _VMEM_BUDGET_BYTES
+
+
+def _pick_batch_block(x_shape, w_shape, itemsize, padding) -> int:
+    """Images per grid step.  Tiny late-stage maps (7x7) are latency-bound
+    at one image per step — DMA and per-step overhead dwarf the compute —
+    so pack several images per block there (divisor of N, VMEM-bounded; ops
+    in the kernel are written whole-block, so a bigger leading dim is pure
+    vectorization, not unrolling).  Measured on v5e @ bs128 bf16: 7x7x512
+    fwd 1.79ms -> 0.98ms at m=4, while 14x14 and up regress past m=1
+    (larger blocks coarsen the double-buffer overlap), hence the ho*wo
+    <= 64 gate."""
+    n, hi, wi, _ = x_shape
+    if hi * wi > 64:
+        return 1
+    m = 1
+    for cand in (2, 4, 8, 16):
+        if n % cand != 0:
+            break
+        if _working_set(x_shape, w_shape, itemsize, padding,
+                        cand) > _VMEM_BUDGET_BYTES:
+            break
+        m = cand
+    return m
 
 
 def _tile_lanes(wk, g):
@@ -90,29 +123,34 @@ def _fill_padded(x_ref, xp_ref, ph, pw, hi, wi):
         xp_ref[:, ph:ph + hi, pw:pw + wi, :] = x_ref[...]
 
 
-def _fwd_kernel(x_ref, wt_ref, out_ref, xp_ref, *, kh, kw, dh, dw, heads, g,
-                cw, ho, wo, c, ph, pw, hi, wi):
-    """out[ho,wo,head*C+c] = sum_k w[head,k][ho,wo,c%Cw]
-                                   * xpad[ho+kh*dh, wo+kw*dw, c]."""
+def _fwd_kernel(x_ref, w_ref, out_ref, xp_ref, *, kh, kw, dh, dw,
+                heads, g, cw, ho, wo, c, ph, pw, hi, wi):
+    """out[ho,wo,head*C+c] = sum_k w[ho,wo,(head*K^2+k)*Cw + c%Cw]
+                                   * xpad[ho+kh*dh, wo+kw*dw, c].
+
+    SSA accumulator chain on purpose: an in-place fp32 scratch accumulator
+    halves VMEM pressure but measured 2x slower (the per-tap scratch
+    read-modify-write serializes; 56x56x64 fwd 5.6ms vs 2.9ms).  The chain
+    keeps several fp32 tap temporaries live, which caps the kernel at
+    stage-2 sizes — stage 1 (56x56) deliberately falls back to XLA (which
+    matches the kernel's throughput there anyway; scoped-VMEM need was
+    measured at 30.6 MB vs the 16 MB limit)."""
     out_dtype = out_ref.dtype
     _fill_padded(x_ref, xp_ref, ph, pw, hi, wi)
     for head in range(heads):
-        def row(ikh, acc, head=head):
-            wrow = wt_ref[:, pl.ds(head * kh + ikh, 1)].reshape(
-                1, ho, wo, kw * cw)
+        acc = None
+        for ikh in range(kh):
             for ikw in range(kw):
-                xs = xp_ref[:, pl.ds(ikh * dh, ho),
+                k = head * kh * kw + ikh * kw + ikw
+                xs = xp_ref[:, ikh * dh:ikh * dh + ho,
                             ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
-                wk = wrow[:, :, :, ikw * cw:(ikw + 1) * cw].astype(jnp.float32)
-                acc = acc + xs * _tile_lanes(wk, g)
-            return acc
-
-        acc = jax.lax.fori_loop(
-            0, kh, row, jnp.zeros((1, ho, wo, c), jnp.float32))
+                wk = w_ref[:, :, :, k * cw:(k + 1) * cw].astype(jnp.float32)
+                tap = xs * _tile_lanes(wk, g)
+                acc = tap if acc is None else acc + tap
         out_ref[:, :, :, head * c:(head + 1) * c] = acc.astype(out_dtype)
 
 
-def _dx_kernel(wt_ref, dy_ref, dx_ref, acc_ref, *, kh, kw, dh, dw, heads, g,
+def _dx_kernel(w_ref, dy_ref, dx_ref, acc_ref, *, kh, kw, dh, dw, heads, g,
                cw, ho, wo, c, ph, pw, hi, wi):
     """Cotangent w.r.t. the (unpadded) input — the transpose of the forward
     shifted-slice pattern (cf. aggregation_zeropad.py:48-78; the stride/
@@ -121,52 +159,38 @@ def _dx_kernel(wt_ref, dy_ref, dx_ref, acc_ref, *, kh, kw, dh, dw, heads, g,
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for head in range(heads):
         dys = dy_ref[:, :, :, head * c:(head + 1) * c].astype(jnp.float32)
-
-        def row(ikh, carry, head=head, dys=dys):
-            wrow = wt_ref[:, pl.ds(head * kh + ikh, 1)].reshape(
-                1, ho, wo, kw * cw)
+        for ikh in range(kh):
             for ikw in range(kw):
-                wk = wrow[:, :, :, ikw * cw:(ikw + 1) * cw].astype(jnp.float32)
+                k = head * kh * kw + ikh * kw + ikw
+                wk = w_ref[:, :, :, k * cw:(k + 1) * cw].astype(jnp.float32)
                 contrib = _tile_lanes(wk, g) * dys
-                cur = acc_ref[:, pl.ds(ikh * dh, ho),
+                cur = acc_ref[:, ikh * dh:ikh * dh + ho,
                               ikw * dw:ikw * dw + wo, :]
-                acc_ref[:, pl.ds(ikh * dh, ho), ikw * dw:ikw * dw + wo, :] = (
-                    cur + contrib)
-            return carry
-
-        jax.lax.fori_loop(0, kh, row, 0)
+                acc_ref[:, ikh * dh:ikh * dh + ho,
+                        ikw * dw:ikw * dw + wo, :] = cur + contrib
     dx_ref[...] = acc_ref[:, ph:ph + hi, pw:pw + wi, :].astype(dx_ref.dtype)
 
 
-def _dw_kernel(x_ref, dy_ref, dwt_ref, xp_ref, *, kh, kw, dh, dw, heads, g,
+def _dw_kernel(x_ref, dy_ref, dw_ref, xp_ref, *, kh, kw, dh, dw, heads, g,
                cw, ho, wo, c, ph, pw, hi, wi):
-    """Weight cotangent: dwt[head*kh+ikh, ho, (ikw, cw-flat over wo)] =
-    sum_g xpad_tap * dy (the ``cc += weight_channels`` reduction,
-    aggregation_zeropad.py:99-103).
-
-    Output layout [1, heads*kh, Ho, Wo, kw*Cw]: the row-tap index lands on an
-    untiled dim (dynamic-legal); the tiled dims (Wo, kw*Cw) are written whole
-    per row (no in-kernel relayout — Mosaic rejects flattening shape casts).
-    The caller reshapes/transposes back to [N, Ho, Wo, heads, K^2, Cw]."""
+    """Weight cotangent, written straight into the flat k-major layout:
+    dw[ho, wo, (head*K^2+k)*Cw + cw] = sum_g xpad_tap * dy (the
+    ``cc += weight_channels`` reduction, aggregation_zeropad.py:99-103).
+    Every write is a static lane slice — no relayout on either side."""
     _fill_padded(x_ref, xp_ref, ph, pw, hi, wi)
-    out_dtype = dwt_ref.dtype
+    out_dtype = dw_ref.dtype
     for head in range(heads):
         dys = dy_ref[:, :, :, head * c:(head + 1) * c].astype(jnp.float32)
-
-        def row(ikh, carry, head=head, dys=dys):
+        for ikh in range(kh):
             for ikw in range(kw):
-                xs = xp_ref[:, pl.ds(ikh * dh, ho),
+                k = head * kh * kw + ikh * kw + ikw
+                xs = xp_ref[:, ikh * dh:ikh * dh + ho,
                             ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
                 t = xs * dys
                 acc = t[:, :, :, 0:cw]
                 for gi in range(1, g):
                     acc = acc + t[:, :, :, gi * cw:(gi + 1) * cw]
-                dwt_ref[:, pl.ds(head * kh + ikh, 1), :, :,
-                        ikw * cw:(ikw + 1) * cw] = (
-                    acc.reshape(1, 1, ho, wo, cw).astype(out_dtype))
-            return carry
-
-        jax.lax.fori_loop(0, kh, row, 0)
+                dw_ref[:, :, :, k * cw:(k + 1) * cw] = acc.astype(out_dtype)
 
 
 def _geometry(x_shape, w_shape, kernel_size, dilation, padding):
@@ -185,17 +209,9 @@ def _geometry(x_shape, w_shape, kernel_size, dilation, padding):
                 hi=hi, wi=wi)
 
 
-def _row_major_weight(w, kh, kw):
-    """[N, Ho, Wo, heads, kh*kw, Cw] -> [N, heads*kh, Ho, Wo, kw*Cw]."""
-    n, ho, wo, heads, k2, cw = w.shape
-    wt = w.reshape(n, ho, wo, heads, kh, kw * cw)
-    wt = wt.transpose(0, 3, 4, 1, 2, 5)
-    return wt.reshape(n, heads * kh, ho, wo, kw * cw)
-
-
-def _block(shape):
+def _block(shape, m=1):
     ndim = len(shape)
-    return pl.BlockSpec((1, *shape[1:]), lambda i: (i,) + (0,) * (ndim - 1),
+    return pl.BlockSpec((m, *shape[1:]), lambda i: (i,) + (0,) * (ndim - 1),
                         memory_space=pltpu.VMEM)
 
 
@@ -209,28 +225,34 @@ def agg_core_pallas(x, w, kernel_size, dilation, padding=(0, 0)):
     return _agg_fwd_impl(x, w, kernel_size, dilation, padding)
 
 
+def _flat_weight(w):
+    """[N, Ho, Wo, heads, K^2, Cw] -> [N, Ho, Wo, heads*K^2*Cw] (bitcast)."""
+    n, ho, wo, heads, k2, cw = w.shape
+    return w.reshape(n, ho, wo, heads * k2 * cw)
+
+
 def _agg_fwd_impl(x, w, kernel_size, dilation, padding):
     geo = _geometry(x.shape, w.shape, kernel_size, dilation, padding)
     n, hi, wi, c = x.shape
     ho, wo, heads = geo["ho"], geo["wo"], geo["heads"]
-    kh, kw = geo["kh"], geo["kw"]
     hp, wp = hi + 2 * geo["ph"], wi + 2 * geo["pw"]
-    wt = _row_major_weight(w, kh, kw)
+    wf = _flat_weight(w)
+    m = _pick_batch_block(x.shape, w.shape, x.dtype.itemsize, padding)
 
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, **geo),
-        grid=(n,),
-        in_specs=[_block(x.shape), _block(wt.shape)],
-        out_specs=_block((n, ho, wo, heads * c)),
+        grid=(n // m,),
+        in_specs=[_block(x.shape, m), _block(wf.shape, m)],
+        out_specs=_block((n, ho, wo, heads * c), m),
         out_shape=jax.ShapeDtypeStruct((n, ho, wo, heads * c), x.dtype),
-        scratch_shapes=[pltpu.VMEM((1, hp, wp, c), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((m, hp, wp, c), x.dtype)],
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * ho * wo * heads * kh * kw * c,
-            bytes_accessed=(x.size + wt.size + n * ho * wo * heads * c)
+            flops=2 * n * ho * wo * heads * geo["kh"] * geo["kw"] * c,
+            bytes_accessed=(x.size + wf.size + n * ho * wo * heads * c)
             * x.dtype.itemsize,
             transcendentals=0),
-    )(x, wt)
+    )(x, wf)
     return out
 
 
@@ -243,34 +265,30 @@ def _agg_bwd_rule(kernel_size, dilation, padding, res, dy):
     geo = _geometry(x.shape, w.shape, kernel_size, dilation, padding)
     n, hi, wi, c = x.shape
     ho, wo, heads = geo["ho"], geo["wo"], geo["heads"]
-    kh, kw = geo["kh"], geo["kw"]
     hp, wp = hi + 2 * geo["ph"], wi + 2 * geo["pw"]
-    wt = _row_major_weight(w, kh, kw)
+    wf = _flat_weight(w)
+    m = _pick_batch_block(x.shape, w.shape, x.dtype.itemsize, padding)
 
     dx = pl.pallas_call(
         functools.partial(_dx_kernel, **geo),
-        grid=(n,),
-        in_specs=[_block(wt.shape), _block((n, ho, wo, heads * c))],
-        out_specs=_block(x.shape),
+        grid=(n // m,),
+        in_specs=[_block(wf.shape, m), _block((n, ho, wo, heads * c), m)],
+        out_specs=_block(x.shape, m),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        scratch_shapes=[pltpu.VMEM((1, hp, wp, c), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((m, hp, wp, c), jnp.float32)],
         interpret=_use_interpret(),
-    )(wt, dy)
+    )(wf, dy)
 
-    _, _, _, heads_, k2_, cw_ = w.shape
-    dwt = pl.pallas_call(
+    dwf = pl.pallas_call(
         functools.partial(_dw_kernel, **geo),
-        grid=(n,),
-        in_specs=[_block(x.shape), _block((n, ho, wo, heads * c))],
-        out_specs=_block((n, heads * kh, ho, wo, kw * cw_)),
-        out_shape=jax.ShapeDtypeStruct((n, heads * kh, ho, wo, kw * cw_),
-                                       w.dtype),
-        scratch_shapes=[pltpu.VMEM((1, hp, wp, c), x.dtype)],
+        grid=(n // m,),
+        in_specs=[_block(x.shape, m), _block((n, ho, wo, heads * c), m)],
+        out_specs=_block(wf.shape, m),
+        out_shape=jax.ShapeDtypeStruct(wf.shape, w.dtype),
+        scratch_shapes=[pltpu.VMEM((m, hp, wp, c), x.dtype)],
         interpret=_use_interpret(),
     )(x, dy)
-    dw = dwt.reshape(n, heads_, kh, ho, wo, kw, cw_).transpose(
-        0, 3, 4, 1, 2, 5, 6).reshape(n, ho, wo, heads_, k2_, cw_)
-    return dx, dw
+    return dx, dwf.reshape(w.shape)
 
 
 agg_core_pallas.defvjp(_agg_fwd_rule, _agg_bwd_rule)

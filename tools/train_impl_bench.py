@@ -1,5 +1,7 @@
 """Compare train-step wall time for the aggregation impl choices on TPU."""
-import time, numpy as np, jax, jax.numpy as jnp
+import sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
 from cotnet_tpu.models import create_model
 from cotnet_tpu.train import TrainState, create_optimizer, make_train_step
 from cotnet_tpu.train.loss import cross_entropy
