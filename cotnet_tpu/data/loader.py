@@ -16,6 +16,8 @@ Replaces the reference's CUDA-stream PrefetchLoader + fast_collate
 
 from __future__ import annotations
 
+import os
+import pickle
 import queue
 import threading
 from typing import Iterator, Optional
@@ -27,6 +29,85 @@ import numpy as np
 from cotnet_tpu.data.rand_augment import RandAugment, rand_augment_transform
 from cotnet_tpu.data.random_erasing import RandomErasing
 from cotnet_tpu.data.transforms import create_eval_transform, create_train_transform
+
+# ---------------------------------------------------------------------------
+# Worker-process machinery (the reference rides torch DataLoader's worker
+# processes, loader.py:147-186; CPython threads can't scale PIL decode — the
+# GIL caps an 8-thread pool at ~1.1x single-thread throughput, measured).
+# Functions must be module-level for multiprocessing spawn pickling.
+
+_WORKER_DS = None
+
+
+def _proc_worker_init(ds_bytes: bytes, base_seed: int):
+    """Runs once in each worker process.  The parent scrubbed accelerator
+    env vars around the spawn, so any transitive jax import here is
+    CPU-only and never touches the TPU tunnel."""
+    global _WORKER_DS
+    import random as _random
+
+    _WORKER_DS = pickle.loads(ds_bytes)
+    wid = os.getpid()
+    _random.seed(base_seed * 100003 + wid)
+    np.random.seed((base_seed * 100003 + wid) % (2 ** 31))
+    # per-worker reseed for transforms carrying an explicit RandomState
+    # (e.g. TfTrainPreprocess): the pickled copy is identical across workers
+    t = getattr(_WORKER_DS, "transform", None)
+    if getattr(t, "rng", None) is not None:
+        t.rng = np.random.RandomState((base_seed + wid) % (2 ** 31))
+
+
+def _proc_fetch(args):
+    """Decode + transform a chunk of dataset indices in a worker process."""
+    idxs, seed = args
+    import random as _random
+
+    _random.seed(seed)
+    imgs, targets = [], []
+    for i in idxs:
+        im, t = _WORKER_DS[i]
+        imgs.append(im)
+        targets.append(t)
+    return np.stack(imgs), np.asarray(targets, np.int32)
+
+
+def _proc_warmup(secs):
+    import time
+
+    time.sleep(secs)
+    return os.getpid()
+
+
+def _spawn_worker_pool(dataset, workers: int, seed: int):
+    """ProcessPoolExecutor with TPU-safe spawn: children inherit os.environ
+    at spawn time, so accelerator selection is forced to CPU for the spawn
+    window and restored afterwards."""
+    import multiprocessing
+    from concurrent.futures import ProcessPoolExecutor
+
+    saved = {}
+    overrides = {"JAX_PLATFORMS": "cpu"}
+    for k in list(os.environ):
+        if k.startswith(("PALLAS_AXON", "AXON_")):
+            saved[k] = os.environ.pop(k)
+    for k, v in overrides.items():
+        saved.setdefault(k, os.environ.get(k))
+        os.environ[k] = v
+    try:
+        pool = ProcessPoolExecutor(
+            workers, mp_context=multiprocessing.get_context("spawn"),
+            initializer=_proc_worker_init,
+            initargs=(pickle.dumps(dataset), seed))
+        # force every worker to spawn inside the scrubbed-env window
+        # (executors spawn lazily; the concurrent sleeps need all of them)
+        list(pool.map(_proc_warmup, [0.2] * workers))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    return pool
 
 IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
@@ -65,10 +146,15 @@ def make_device_augment(mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD,
 
 
 class _Prefetcher:
-    """Thread-pool prefetch: index batches -> collated uint8 numpy arrays."""
+    """Prefetch pipeline: index batches -> collated uint8 numpy arrays.
+
+    Decode+transform runs either on a worker-process pool (``proc_pool``,
+    scales with cores — the default for real training via
+    ``Loader(worker_procs=True)``) or an in-process thread pool (cheap to
+    set up; GIL-bound, fine for tests/small runs)."""
 
     def __init__(self, dataset, indices, batch_size, workers=8, depth=4,
-                 drop_last=True, pad_last=False):
+                 drop_last=True, pad_last=False, proc_pool=None, seed=0):
         self.dataset = dataset
         self.indices = indices
         self.batch_size = batch_size
@@ -76,6 +162,8 @@ class _Prefetcher:
         self.depth = depth
         self.drop_last = drop_last
         self.pad_last = pad_last
+        self.proc_pool = proc_pool
+        self.seed = seed
 
     def _batches(self):
         n = len(self.indices)
@@ -94,15 +182,44 @@ class _Prefetcher:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         stop = object()
 
+        def fetch_procs(pool, chunk, bidx):
+            sub = max(1, -(-len(chunk) // self.workers))
+            parts = [(chunk[j:j + sub], self.seed * 1000003 + bidx * 997 + j)
+                     for j in range(0, len(chunk), sub)]
+            results = list(pool.map(_proc_fetch, parts))
+            imgs = np.concatenate([r[0] for r in results])
+            labels = np.concatenate([r[1] for r in results])
+            return imgs, labels
+
         def worker():
             try:
                 from concurrent.futures import ThreadPoolExecutor
 
+                from cotnet_tpu.data import native
+
+                use_native = native.available()
                 with ThreadPoolExecutor(self.workers) as pool:
-                    for chunk, valid in self._batches():
-                        samples = list(pool.map(self.dataset.__getitem__, chunk))
-                        imgs = np.stack([s[0] for s in samples])
-                        labels = np.asarray([s[1] for s in samples], np.int32)
+                    for bidx, (chunk, valid) in enumerate(self._batches()):
+                        if self.proc_pool is not None:
+                            imgs, labels = fetch_procs(self.proc_pool, chunk,
+                                                       bidx)
+                        else:
+                            samples = list(pool.map(
+                                self.dataset.__getitem__, chunk))
+                            arrs = [s[0] for s in samples]
+                            if (use_native and arrs[0].ndim == 3
+                                    and arrs[0].dtype == np.uint8
+                                    and all(a.shape == arrs[0].shape
+                                            for a in arrs)):
+                                # multithreaded C++ collate — np.stack
+                                # memcpys single-threaded, ~19 MB per
+                                # bs128@224 batch on the host critical path
+                                imgs = native.batch_collate(arrs,
+                                                            self.workers)
+                            else:
+                                imgs = np.stack(arrs)
+                            labels = np.asarray([s[1] for s in samples],
+                                                np.int32)
                         mask = np.zeros((len(chunk),), np.float32)
                         mask[:valid] = 1.0
                         q.put((imgs, labels, mask))
@@ -136,7 +253,8 @@ class Loader:
                  auto_augment: Optional[str] = None,
                  reprob: float = 0.0, remode: str = "pixel", recount: int = 1,
                  num_aug_splits: int = 0, dtype=jnp.float32, seed: int = 0,
-                 mesh=None, tf_preprocessing: bool = False):
+                 mesh=None, tf_preprocessing: bool = False,
+                 worker_procs: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.train = train
@@ -144,6 +262,8 @@ class Loader:
         self.seed = seed
         self.epoch = 0
         self.mesh = mesh
+        self.worker_procs = worker_procs
+        self._pool = None  # lazy; persists across epochs
         if train:
             if tf_preprocessing:
                 # TF-graph-parity host transform (reference loader.py:155,
@@ -181,6 +301,17 @@ class Loader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def __len__(self):
         n = len(self.dataset)
         if self.train:
@@ -195,9 +326,13 @@ class Loader:
         else:
             indices = np.arange(n)
         rng_key = jax.random.PRNGKey(self.seed * 1000 + self.epoch)
+        if self.worker_procs and self._pool is None:
+            self._pool = _spawn_worker_pool(self.dataset, self.workers,
+                                            self.seed)
         pre = _Prefetcher(self.dataset, indices, self.batch_size,
                           self.workers, drop_last=self.train,
-                          pad_last=not self.train)
+                          pad_last=not self.train, proc_pool=self._pool,
+                          seed=self.seed * 131 + self.epoch)
         for i, (imgs, labels, mask) in enumerate(pre):
             key = jax.random.fold_in(rng_key, i)
             batch_u8 = jnp.asarray(imgs)

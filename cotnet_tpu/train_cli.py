@@ -95,7 +95,13 @@ def build_loaders(cfg, data_cfg, args, mesh):
         os.path.join(root, "val")) else root,
         class_to_idx=train_ds.class_to_idx)
     common = dict(mean=data_cfg["mean"], std=data_cfg["std"],
-                  workers=cfg.data_loader.workers, mesh=mesh)
+                  workers=cfg.data_loader.workers, mesh=mesh,
+                  # real datasets decode on worker processes (the torch
+                  # DataLoader equivalent) — threads can't scale PIL decode
+                  # past ~1 core; on single/dual-core hosts processes only
+                  # add IPC cost, so gate on the core count
+                  worker_procs=(cfg.data_loader.workers > 1
+                                and (os.cpu_count() or 1) > 2))
     train = Loader(
         train_ds, cfg.data_loader.batch_size, train=True, image_size=size,
         interpolation=aug.train_interpolation or "random",

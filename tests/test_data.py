@@ -146,6 +146,27 @@ def test_loader_tf_preprocessing(image_tree):
     assert next(iter(val))["image"].shape == (8, 32, 32, 3)
 
 
+def test_loader_worker_procs(image_tree):
+    """Process-pool decode path (torch-DataLoader-equivalent): same batches,
+    deterministic per-epoch, pool survives epochs, clean shutdown."""
+    ds = ImageFolderDataset(image_tree)
+    loader = Loader(ds, batch_size=8, train=True, image_size=32, workers=2,
+                    seed=3, worker_procs=True)
+    try:
+        b1 = [np.asarray(b["label"]) for b in loader]
+        assert len(b1) == 2 and b1[0].shape == (8,)
+        imgs = next(iter(loader))["image"]
+        assert imgs.shape == (8, 32, 32, 3) and bool(jnp.isfinite(imgs).all())
+        # shuffle determinism across pool reuse
+        b1b = [np.asarray(b["label"]) for b in loader]
+        np.testing.assert_array_equal(np.stack(b1), np.stack(b1b))
+        loader.set_epoch(1)
+        b2 = [np.asarray(b["label"]) for b in loader]
+        assert not np.array_equal(np.stack(b1), np.stack(b2))
+    finally:
+        loader.close()
+
+
 def test_synthetic_loader():
     loader = SyntheticLoader(batch_size=4, image_size=16, num_classes=10,
                              steps=3)
