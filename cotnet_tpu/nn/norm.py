@@ -70,8 +70,12 @@ class SubChannelGroupNorm(fnn.Module):
 
         xf = x.astype(jnp.float32).reshape(
             n, h, w, self.dw_groups, self.k2, cwg)
+        # one-pass statistics (E[x^2] - E[x]^2): both reductions fuse into a
+        # single read of the weight tensor — the two-pass form costs an extra
+        # full HBM read of the largest activation in every CoT layer
         mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)
+        mean2 = jnp.mean(jnp.square(xf), axis=(1, 2, 4), keepdims=True)
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
         y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
         y = y.reshape(n, h, w, c) * scale + bias
         return y.astype(self.dtype or x.dtype)
