@@ -15,6 +15,7 @@ import io
 import os
 import re
 import tarfile
+import threading
 from typing import Callable, List, Optional, Tuple
 
 import numpy as np
@@ -111,16 +112,21 @@ class TarDataset:
         self.samples = sorted(pairs, key=lambda p: natural_key(p[0].name))
         self.class_to_idx = class_to_idx
         self.transform = transform
-        self._tf = None  # lazy per-worker handle (dataset.py:163-170)
+        # lazy per-worker AND per-thread handles: TarFile shares one seek
+        # position, so the prefetcher's thread pool needs its own handle
+        # (reference keeps one lazy handle per dataloader worker process,
+        # dataset.py:163-170; threads add the extra dimension here)
+        self._local = threading.local()
 
     def __len__(self):
         return len(self.samples)
 
     def __getitem__(self, idx):
-        if self._tf is None:
-            self._tf = tarfile.open(self.tar_path)
+        tf = getattr(self._local, "tf", None)
+        if tf is None:
+            tf = self._local.tf = tarfile.open(self.tar_path)
         member, target = self.samples[idx]
-        data = self._tf.extractfile(member).read()
+        data = tf.extractfile(member).read()
         img = _open_rgb(data)
         if self.transform is not None:
             img = self.transform(img)

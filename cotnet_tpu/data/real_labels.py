@@ -30,10 +30,20 @@ class RealLabelsImagenet:
         self.is_correct = {k: [] for k in topk}
         self.sample_idx = 0
 
+    def reset(self):
+        """Start a fresh evaluation pass (call before reusing the object)."""
+        self.is_correct = {k: [] for k in self.topk}
+        self.sample_idx = 0
+
     def add_result(self, logits_or_topk):
         """Accumulate a batch of predictions (logits [N, K] or precomputed
         top-k index arrays [N, max(topk)])."""
         arr = np.asarray(logits_or_topk)
+        if self.sample_idx + len(arr) > len(self.filenames):
+            raise IndexError(
+                f"add_result past the end of the filename list "
+                f"({self.sample_idx}+{len(arr)} > {len(self.filenames)}); "
+                f"call reset() before a second evaluation pass")
         if arr.ndim == 2 and arr.shape[1] > max(self.topk):
             pred = np.argsort(-arr, axis=-1)[:, :max(self.topk)]
         else:

@@ -27,6 +27,8 @@ class Evaler:
 
     def __call__(self, epoch: int, state) -> dict:
         meter = TestMeter(self.logger)
+        if self.real_labels is not None:
+            self.real_labels.reset()
         for batch in self.loader:
             m = self.eval_step(state, batch)
             meter.update(m["top1_count"], m["top5_count"], m["n"])

@@ -79,7 +79,11 @@ class CheckpointSaver:
         self.index.append({"epoch": epoch, "metric": float(metric),
                            "path": path})
         while len(self.index) > self.max_history:
-            worst = self._worst_first()[0]
+            # never prune the just-saved epoch: 'last' must always point at
+            # a live checkpoint (reference keeps last.pth.tar outside the
+            # ranked set, checkpoint_saver.py:59-101)
+            worst = next(e for e in self._worst_first()
+                         if e["epoch"] != epoch)
             self.index.remove(worst)
             shutil.rmtree(worst["path"], ignore_errors=True)
         self._write_index()

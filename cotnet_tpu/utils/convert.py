@@ -15,6 +15,7 @@ Layout transforms:
 
 from __future__ import annotations
 
+import re
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -235,12 +236,25 @@ def surgery(variables, flax_shapes) -> dict:
             "batch_stats": variables.get("batch_stats", {})}
 
 
+def model_avg_down(model_name: str) -> bool:
+    """Whether the family uses avg-pool downsample (ResNet-D style), i.e.
+    torch downsample keys sit at .1/.2 instead of .0/.1.
+
+    Reference: SE-CoTNetD uses avg_down (cotnet_hybrid.py make_blocks);
+    CoTNet/CoTNeXt use the plain Sequential(conv, bn) downsample
+    (resnet.py default) — a cardinality suffix like ``2x48d`` is NOT a
+    ResNet-D marker."""
+    if "cotnext" in model_name or re.search(r"\d+x\d+d$", model_name):
+        return False
+    return "cotnetd" in model_name or model_name.endswith("d")
+
+
 def convert_torch_checkpoint(path: str, flax_variables, model_name: str = "",
                              use_ema: bool = False, strict: bool = True,
                              in_chans: int = 3):
     """File-level convenience: torch .pth.tar -> flax variables."""
     sd = load_torch_checkpoint(path, use_ema=use_ema)
-    avg_down = "cotnetd" in model_name or model_name.endswith("d")
+    avg_down = model_avg_down(model_name)
     dw_group = 2 if "cotnext" in model_name else 1
     converted = convert_torch_state_dict(sd, flax_variables,
                                          avg_down=avg_down,

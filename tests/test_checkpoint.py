@@ -69,3 +69,17 @@ def test_weights_io_ema_select(tmp_path):
     ema = load_weights(path, template, use_ema=True)
     np.testing.assert_allclose(
         np.asarray(ema["params"]["dense"]["kernel"]), 3.0)
+
+
+def test_last_survives_worst_ranked_save(tmp_path):
+    """A newest epoch that ranks worst must not be pruned out from under the
+    rolling 'last' pointer (reference always keeps a real last checkpoint)."""
+    saver = CheckpointSaver(str(tmp_path / "ckpt"), max_history=2)
+    state = _tiny_state()
+    saver.save_checkpoint(state, 1, metric=30.0)
+    saver.save_checkpoint(state, 2, metric=20.0)
+    saver.save_checkpoint(state, 3, metric=5.0)  # worst so far, but newest
+    epochs = sorted(e["epoch"] for e in saver.index)
+    assert 3 in epochs and len(epochs) == 2
+    restored = saver.restore(_tiny_state())  # via 'last' -> epoch 3
+    assert int(restored.step) == 0

@@ -397,3 +397,16 @@ def test_lrnet_selfatt_conversion_parity():
     y_j = mod.apply(variables, x_nhwc, training=False)
     np.testing.assert_allclose(np.transpose(np.asarray(y_j), (0, 3, 1, 2)),
                                y_t, rtol=5e-4, atol=5e-4)
+
+
+def test_model_avg_down_names():
+    """avg_down derivation: cardinality suffixes like 2x48d are NOT ResNet-D
+    markers (reference CoTNeXt uses the plain conv downsample)."""
+    from cotnet_tpu.utils.convert import model_avg_down
+
+    assert not model_avg_down("cotnet50")
+    assert not model_avg_down("cotnext50_2x48d")
+    assert not model_avg_down("cotnext101_2x48d")
+    assert model_avg_down("se_cotnetd_50")
+    assert model_avg_down("se_cotnetd_152")
+    assert model_avg_down("resnet50d")

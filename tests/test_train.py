@@ -198,6 +198,11 @@ def test_evaler_real_labels(tmp_path):
     assert len(rl.is_correct[1]) == 4
     assert results["real_top1"] == 100.0 and results["real_top5"] == 100.0
     assert results["samples"] == 6.0
+    # a second pass on the same Evaler resets the accumulator instead of
+    # running past the filename list
+    results2 = evaler(1, state)
+    assert rl.sample_idx == 6 and len(rl.is_correct[1]) == 4
+    assert results2["real_top1"] == 100.0
 
 
 def test_real_labels_logits_path(tmp_path):
