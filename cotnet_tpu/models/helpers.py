@@ -66,6 +66,34 @@ def build_model_with_cfg(
     return model
 
 
+def register_variant_table(module_name: str, builder: Callable,
+                           table: Dict[str, dict]) -> None:
+    """Register many config-row entrypoints from a table.
+
+    The reference declares hundreds of near-identical per-variant ``def``
+    blocks (e.g. resnet.py:614+, efficientnet.py:880+); each is one
+    architecture-kwargs row on a shared chassis.  ``builder(name,
+    pretrained=..., **kwargs)`` constructs the model; each generated
+    entrypoint merges its table row under any caller kwargs (caller wins).
+    """
+    import sys
+
+    from cotnet_tpu.models.registry import register_model
+
+    mod = sys.modules[module_name]
+    for name, row in table.items():
+        def fn(pretrained=False, *, _name=name, _row=row, **kwargs):
+            merged = dict(_row)
+            merged.update(kwargs)
+            return builder(_name, pretrained=pretrained, **merged)
+        fn.__name__ = name
+        fn.__qualname__ = name
+        fn.__module__ = module_name
+        fn.__doc__ = f"{name} (table-generated variant entrypoint)"
+        setattr(mod, name, fn)
+        register_model(fn)
+
+
 def get_feature_info(model, input_size: int = 224):
     """Per-stage feature metadata (reference models/features.py FeatureInfo):
     [{'num_chs', 'reduction'}] derived from a shape-only trace of the model's

@@ -15,8 +15,8 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as fnn
 
-from cotnet_tpu.models.helpers import build_model_with_cfg, default_cfg
-from cotnet_tpu.models.registry import register_model
+from cotnet_tpu.models.helpers import (
+    build_model_with_cfg, default_cfg, register_variant_table)
 from cotnet_tpu.nn import (
     batch_norm,
     BlurPool2d,
@@ -31,21 +31,7 @@ from cotnet_tpu.nn import (
     max_pool2d,
 )
 
-default_cfgs = {
-    "resnet18": default_cfg(interpolation="bilinear"),
-    "resnet26": default_cfg(interpolation="bicubic"),
-    "resnet34": default_cfg(interpolation="bilinear"),
-    "resnet50": default_cfg(interpolation="bicubic"),
-    "resnet101": default_cfg(interpolation="bicubic"),
-    "resnet152": default_cfg(interpolation="bicubic"),
-    "resnet26d": default_cfg(interpolation="bicubic", first_conv="conv1.0"),
-    "resnet50d": default_cfg(interpolation="bicubic", first_conv="conv1.0"),
-    "resnext50_32x4d": default_cfg(interpolation="bicubic"),
-    "resnext101_32x8d": default_cfg(interpolation="bicubic"),
-    "seresnet50": default_cfg(interpolation="bicubic"),
-    "seresnext50_32x4d": default_cfg(interpolation="bicubic"),
-    "ecaresnet50d": default_cfg(interpolation="bicubic", first_conv="conv1.0"),
-}
+default_cfgs = {}  # populated next to the variant table below
 
 
 class Downsample(fnn.Module):
@@ -369,101 +355,169 @@ class ResNet(fnn.Module):
         )(x, training=training)
 
 
-def _create_resnet(variant_cfg: str, model_name: str, pretrained: bool = False,
-                   **kwargs):
+
+
+def _create_resnet(model_name: str, pretrained: bool = False, **kwargs):
     return build_model_with_cfg(
         ResNet, model_name, default_cfgs.get(model_name, default_cfg()),
-        pretrained=pretrained, **kwargs)
+        pretrained=pretrained, **_strip(kwargs))
 
 
 def _strip(kwargs):
     """Drop factory kwargs the chassis doesn't take."""
     kwargs.pop("in_chans_unused", None)
+    # pruned channel maps are not shipped by the reference either
+    # (models/helpers.py:248-251 reads models/pruned/<variant>.txt, absent
+    # from the tree): *_pruned keys build the base architecture
+    kwargs.pop("pruned", None)
     return kwargs
 
 
-@register_model
-def resnet18(pretrained=False, **kwargs):
-    return _create_resnet("resnet18", "resnet18", pretrained,
-                          block=BasicBlock, layers=(2, 2, 2, 2), **_strip(kwargs))
+# --- variant tables (reference models/resnet.py:614-1233) -------------------
+# One row per @register_model entrypoint: architecture kwargs on the shared
+# chassis.  B/N = BasicBlock/Bottleneck; eca/se rows set block attention.
 
+_B, _N = BasicBlock, Bottleneck
+_deep32 = dict(stem_width=32, stem_type="deep", avg_down=True)
+_se = dict(block_args=dict(attn_layer="se"))
+_eca = dict(block_args=dict(attn_layer="eca"))
 
-@register_model
-def resnet34(pretrained=False, **kwargs):
-    return _create_resnet("resnet34", "resnet34", pretrained,
-                          block=BasicBlock, layers=(3, 4, 6, 3), **_strip(kwargs))
+RESNET_VARIANTS = {
+    # ResNet / ResNet-D (resnet.py:620-737)
+    "resnet18": dict(block=_B, layers=(2, 2, 2, 2)),
+    "resnet18d": dict(block=_B, layers=(2, 2, 2, 2), **_deep32),
+    "resnet34": dict(block=_B, layers=(3, 4, 6, 3)),
+    "resnet34d": dict(block=_B, layers=(3, 4, 6, 3), **_deep32),
+    "resnet26": dict(block=_N, layers=(2, 2, 2, 2)),
+    "resnet26d": dict(block=_N, layers=(2, 2, 2, 2), **_deep32),
+    "resnet50": dict(block=_N, layers=(3, 4, 6, 3)),
+    "resnet50d": dict(block=_N, layers=(3, 4, 6, 3), **_deep32),
+    "resnet66d": dict(block=_B, layers=(3, 4, 23, 3), **_deep32),
+    "resnet101": dict(block=_N, layers=(3, 4, 23, 3)),
+    "resnet101d": dict(block=_N, layers=(3, 4, 23, 3), **_deep32),
+    "resnet152": dict(block=_N, layers=(3, 8, 36, 3)),
+    "resnet152d": dict(block=_N, layers=(3, 8, 36, 3), **_deep32),
+    "resnet200": dict(block=_N, layers=(3, 24, 36, 3)),
+    "resnet200d": dict(block=_N, layers=(3, 24, 36, 3), **_deep32),
+    # torchvision-weight aliases (resnet.py:745-773)
+    "tv_resnet34": dict(block=_B, layers=(3, 4, 6, 3)),
+    "tv_resnet50": dict(block=_N, layers=(3, 4, 6, 3)),
+    "tv_resnet101": dict(block=_N, layers=(3, 4, 23, 3)),
+    "tv_resnet152": dict(block=_N, layers=(3, 8, 36, 3)),
+    # Wide ResNet (resnet.py:777-796)
+    "wide_resnet50_2": dict(block=_N, layers=(3, 4, 6, 3), base_width=128),
+    "wide_resnet101_2": dict(block=_N, layers=(3, 4, 23, 3), base_width=128),
+    # ResNeXt (resnet.py:800-852)
+    "resnext26_32x4d": dict(block=_N, layers=(2, 2, 2, 2), cardinality=32,
+                            base_width=4),
+    "resnext50_32x4d": dict(block=_N, layers=(3, 4, 6, 3), cardinality=32,
+                            base_width=4),
+    "resnext50d_32x4d": dict(block=_N, layers=(3, 4, 6, 3), cardinality=32,
+                             base_width=4, **_deep32),
+    "resnext101_32x4d": dict(block=_N, layers=(3, 4, 23, 3), cardinality=32,
+                             base_width=4),
+    "resnext101_32x8d": dict(block=_N, layers=(3, 4, 23, 3), cardinality=32,
+                             base_width=8),
+    "resnext101_64x4d": dict(block=_N, layers=(3, 4, 23, 3), cardinality=64,
+                             base_width=4),
+    "tv_resnext50_32x4d": dict(block=_N, layers=(3, 4, 6, 3), cardinality=32,
+                               base_width=4),
+    # Instagram WSL ResNeXts (resnet.py:856-896)
+    "ig_resnext101_32x8d": dict(block=_N, layers=(3, 4, 23, 3),
+                                cardinality=32, base_width=8),
+    "ig_resnext101_32x16d": dict(block=_N, layers=(3, 4, 23, 3),
+                                 cardinality=32, base_width=16),
+    "ig_resnext101_32x32d": dict(block=_N, layers=(3, 4, 23, 3),
+                                 cardinality=32, base_width=32),
+    "ig_resnext101_32x48d": dict(block=_N, layers=(3, 4, 23, 3),
+                                 cardinality=32, base_width=48),
+    # SSL / SWSL pretraining aliases (resnet.py:900-1022)
+    "ssl_resnet18": dict(block=_B, layers=(2, 2, 2, 2)),
+    "ssl_resnet50": dict(block=_N, layers=(3, 4, 6, 3)),
+    "ssl_resnext50_32x4d": dict(block=_N, layers=(3, 4, 6, 3),
+                                cardinality=32, base_width=4),
+    "ssl_resnext101_32x4d": dict(block=_N, layers=(3, 4, 23, 3),
+                                 cardinality=32, base_width=4),
+    "ssl_resnext101_32x8d": dict(block=_N, layers=(3, 4, 23, 3),
+                                 cardinality=32, base_width=8),
+    "ssl_resnext101_32x16d": dict(block=_N, layers=(3, 4, 23, 3),
+                                  cardinality=32, base_width=16),
+    "swsl_resnet18": dict(block=_B, layers=(2, 2, 2, 2)),
+    "swsl_resnet50": dict(block=_N, layers=(3, 4, 6, 3)),
+    "swsl_resnext50_32x4d": dict(block=_N, layers=(3, 4, 6, 3),
+                                 cardinality=32, base_width=4),
+    "swsl_resnext101_32x4d": dict(block=_N, layers=(3, 4, 23, 3),
+                                  cardinality=32, base_width=4),
+    "swsl_resnext101_32x8d": dict(block=_N, layers=(3, 4, 23, 3),
+                                  cardinality=32, base_width=8),
+    "swsl_resnext101_32x16d": dict(block=_N, layers=(3, 4, 23, 3),
+                                   cardinality=32, base_width=16),
+    # ECA ResNets (resnet.py:1026-1103)
+    "ecaresnet18": dict(block=_B, layers=(2, 2, 2, 2), **_eca),
+    "ecaresnet50": dict(block=_N, layers=(3, 4, 6, 3), **_eca),
+    "ecaresnet50d": dict(block=_N, layers=(3, 4, 6, 3), **_deep32, **_eca),
+    "ecaresnet50d_pruned": dict(block=_N, layers=(3, 4, 6, 3), **_deep32,
+                                **_eca),
+    "ecaresnetlight": dict(block=_N, layers=(1, 1, 11, 3), stem_width=32,
+                           avg_down=True, **_eca),
+    "ecaresnet101d": dict(block=_N, layers=(3, 4, 23, 3), **_deep32, **_eca),
+    "ecaresnet101d_pruned": dict(block=_N, layers=(3, 4, 23, 3), **_deep32,
+                                 **_eca),
+    "ecaresnext26tn_32x4d": dict(block=_N, layers=(2, 2, 2, 2),
+                                 cardinality=32, base_width=4, stem_width=32,
+                                 stem_type="deep_tiered_narrow",
+                                 avg_down=True, **_eca),
+    # anti-aliased (resnet.py:1107-1119)
+    "resnetblur18": dict(block=_B, layers=(2, 2, 2, 2), aa_layer="blur"),
+    "resnetblur50": dict(block=_N, layers=(3, 4, 6, 3), aa_layer="blur"),
+    # SE ResNets / ResNeXts / SENet (resnet.py:1123-1233)
+    "seresnet18": dict(block=_B, layers=(2, 2, 2, 2), **_se),
+    "seresnet34": dict(block=_B, layers=(3, 4, 6, 3), **_se),
+    "seresnet50": dict(block=_N, layers=(3, 4, 6, 3), **_se),
+    "seresnet50tn": dict(block=_N, layers=(3, 4, 6, 3), stem_width=32,
+                         stem_type="deep_tiered_narrow", avg_down=True, **_se),
+    "seresnet101": dict(block=_N, layers=(3, 4, 23, 3), **_se),
+    "seresnet152": dict(block=_N, layers=(3, 8, 36, 3), **_se),
+    "seresnext26_32x4d": dict(block=_N, layers=(2, 2, 2, 2), cardinality=32,
+                              base_width=4, **_se),
+    "seresnext26d_32x4d": dict(block=_N, layers=(2, 2, 2, 2), cardinality=32,
+                               base_width=4, **_deep32, **_se),
+    "seresnext26t_32x4d": dict(block=_N, layers=(2, 2, 2, 2), cardinality=32,
+                               base_width=4, stem_width=32,
+                               stem_type="deep_tiered", avg_down=True, **_se),
+    "seresnext26tn_32x4d": dict(block=_N, layers=(2, 2, 2, 2), cardinality=32,
+                                base_width=4, stem_width=32,
+                                stem_type="deep_tiered_narrow", avg_down=True,
+                                **_se),
+    "seresnext50_32x4d": dict(block=_N, layers=(3, 4, 6, 3), cardinality=32,
+                              base_width=4, **_se),
+    "seresnext101_32x4d": dict(block=_N, layers=(3, 4, 23, 3), cardinality=32,
+                               base_width=4, **_se),
+    "seresnext101_32x8d": dict(block=_N, layers=(3, 4, 23, 3), cardinality=32,
+                               base_width=8, **_se),
+    "senet154": dict(block=_N, layers=(3, 8, 36, 3), cardinality=64,
+                     base_width=4, stem_type="deep", down_kernel_size=3,
+                     block_reduce_first=2, **_se),
+}
 
+# data configs: bilinear for the torchvision/fb-weight lineages, bicubic for
+# the timm-trained ones; deep stems expose first_conv=conv1.0
+_BILINEAR = {"resnet18", "resnet34", "resnet101", "resnet152", "resnet200",
+             "tv_resnet34", "tv_resnet50", "tv_resnet101", "tv_resnet152",
+             "tv_resnext50_32x4d", "wide_resnet101_2",
+             "resnext101_32x4d", "resnext101_32x8d", "resnext101_64x4d",
+             "ecaresnet18", "ecaresnet50",
+             "ig_resnext101_32x8d", "ig_resnext101_32x16d",
+             "ig_resnext101_32x32d", "ig_resnext101_32x48d",
+             "ssl_resnet18", "ssl_resnet50", "ssl_resnext50_32x4d",
+             "ssl_resnext101_32x4d", "ssl_resnext101_32x8d",
+             "ssl_resnext101_32x16d", "swsl_resnet18", "swsl_resnet50",
+             "swsl_resnext50_32x4d", "swsl_resnext101_32x4d",
+             "swsl_resnext101_32x8d", "swsl_resnext101_32x16d"}
 
-@register_model
-def resnet26(pretrained=False, **kwargs):
-    return _create_resnet("resnet26", "resnet26", pretrained,
-                          block=Bottleneck, layers=(2, 2, 2, 2), **_strip(kwargs))
+for _name, _row in RESNET_VARIANTS.items():
+    _interp = "bilinear" if _name in _BILINEAR else "bicubic"
+    _fc = "conv1.0" if "deep" in str(_row.get("stem_type", "")) else "conv1"
+    default_cfgs[_name] = default_cfg(interpolation=_interp, first_conv=_fc)
 
-
-@register_model
-def resnet26d(pretrained=False, **kwargs):
-    return _create_resnet("resnet26d", "resnet26d", pretrained,
-                          block=Bottleneck, layers=(2, 2, 2, 2), stem_width=32,
-                          stem_type="deep", avg_down=True, **_strip(kwargs))
-
-
-@register_model
-def resnet50(pretrained=False, **kwargs):
-    return _create_resnet("resnet50", "resnet50", pretrained,
-                          block=Bottleneck, layers=(3, 4, 6, 3), **_strip(kwargs))
-
-
-@register_model
-def resnet50d(pretrained=False, **kwargs):
-    return _create_resnet("resnet50d", "resnet50d", pretrained,
-                          block=Bottleneck, layers=(3, 4, 6, 3), stem_width=32,
-                          stem_type="deep", avg_down=True, **_strip(kwargs))
-
-
-@register_model
-def resnet101(pretrained=False, **kwargs):
-    return _create_resnet("resnet101", "resnet101", pretrained,
-                          block=Bottleneck, layers=(3, 4, 23, 3), **_strip(kwargs))
-
-
-@register_model
-def resnet152(pretrained=False, **kwargs):
-    return _create_resnet("resnet152", "resnet152", pretrained,
-                          block=Bottleneck, layers=(3, 8, 36, 3), **_strip(kwargs))
-
-
-@register_model
-def resnext50_32x4d(pretrained=False, **kwargs):
-    return _create_resnet("resnext50_32x4d", "resnext50_32x4d", pretrained,
-                          block=Bottleneck, layers=(3, 4, 6, 3), cardinality=32,
-                          base_width=4, **_strip(kwargs))
-
-
-@register_model
-def resnext101_32x8d(pretrained=False, **kwargs):
-    return _create_resnet("resnext101_32x8d", "resnext101_32x8d", pretrained,
-                          block=Bottleneck, layers=(3, 4, 23, 3), cardinality=32,
-                          base_width=8, **_strip(kwargs))
-
-
-@register_model
-def seresnet50(pretrained=False, **kwargs):
-    return _create_resnet("seresnet50", "seresnet50", pretrained,
-                          block=Bottleneck, layers=(3, 4, 6, 3),
-                          block_args=dict(attn_layer="se"), **_strip(kwargs))
-
-
-@register_model
-def seresnext50_32x4d(pretrained=False, **kwargs):
-    return _create_resnet("seresnext50_32x4d", "seresnext50_32x4d", pretrained,
-                          block=Bottleneck, layers=(3, 4, 6, 3), cardinality=32,
-                          base_width=4, block_args=dict(attn_layer="se"),
-                          **_strip(kwargs))
-
-
-@register_model
-def ecaresnet50d(pretrained=False, **kwargs):
-    return _create_resnet("ecaresnet50d", "ecaresnet50d", pretrained,
-                          block=Bottleneck, layers=(3, 4, 6, 3), stem_width=32,
-                          stem_type="deep", avg_down=True,
-                          block_args=dict(attn_layer="eca"), **_strip(kwargs))
+register_variant_table(__name__, _create_resnet, RESNET_VARIANTS)
