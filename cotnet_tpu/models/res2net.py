@@ -8,8 +8,8 @@ from typing import Any, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as fnn
 
-from cotnet_tpu.models.helpers import build_model_with_cfg, default_cfg
-from cotnet_tpu.models.registry import register_model
+from cotnet_tpu.models.helpers import (
+    build_model_with_cfg, default_cfg, register_variant_table)
 from cotnet_tpu.models.resnet import Downsample, ResNet
 from cotnet_tpu.nn import (
     Conv2d,
@@ -20,11 +20,7 @@ from cotnet_tpu.nn import (
     get_act_fn,
 )
 
-default_cfgs = {
-    "res2net50_26w_4s": default_cfg(),
-    "res2net101_26w_4s": default_cfg(),
-    "res2next50": default_cfg(),
-}
+default_cfgs = {}
 
 
 class Bottle2neck(fnn.Module):
@@ -112,22 +108,25 @@ def _create_res2net(model_name, pretrained=False, **kwargs):
         **kwargs)
 
 
-@register_model
-def res2net50_26w_4s(pretrained=False, **kwargs):
-    return _create_res2net(
-        "res2net50_26w_4s", pretrained, block=Bottle2neck, layers=(3, 4, 6, 3),
-        base_width=26, block_args=dict(scale=4), **kwargs)
+# reference models/res2net.py:142-216
+RES2NET_VARIANTS = {
+    "res2net50_26w_4s": dict(block=Bottle2neck, layers=(3, 4, 6, 3),
+                             base_width=26, block_args=dict(scale=4)),
+    "res2net101_26w_4s": dict(block=Bottle2neck, layers=(3, 4, 23, 3),
+                              base_width=26, block_args=dict(scale=4)),
+    "res2net50_26w_6s": dict(block=Bottle2neck, layers=(3, 4, 6, 3),
+                             base_width=26, block_args=dict(scale=6)),
+    "res2net50_26w_8s": dict(block=Bottle2neck, layers=(3, 4, 6, 3),
+                             base_width=26, block_args=dict(scale=8)),
+    "res2net50_48w_2s": dict(block=Bottle2neck, layers=(3, 4, 6, 3),
+                             base_width=48, block_args=dict(scale=2)),
+    "res2net50_14w_8s": dict(block=Bottle2neck, layers=(3, 4, 6, 3),
+                             base_width=14, block_args=dict(scale=8)),
+    "res2next50": dict(block=Bottle2neck, layers=(3, 4, 6, 3), base_width=4,
+                       cardinality=8, block_args=dict(scale=4)),
+}
 
+default_cfgs = {name: default_cfg(interpolation="bilinear")
+                for name in RES2NET_VARIANTS}
 
-@register_model
-def res2net101_26w_4s(pretrained=False, **kwargs):
-    return _create_res2net(
-        "res2net101_26w_4s", pretrained, block=Bottle2neck,
-        layers=(3, 4, 23, 3), base_width=26, block_args=dict(scale=4), **kwargs)
-
-
-@register_model
-def res2next50(pretrained=False, **kwargs):
-    return _create_res2net(
-        "res2next50", pretrained, block=Bottle2neck, layers=(3, 4, 6, 3),
-        base_width=4, cardinality=8, block_args=dict(scale=4), **kwargs)
+register_variant_table(__name__, _create_res2net, RES2NET_VARIANTS)

@@ -7,8 +7,8 @@ from typing import Any, Optional, Tuple
 
 from flax import linen as fnn
 
-from cotnet_tpu.models.helpers import build_model_with_cfg, default_cfg
-from cotnet_tpu.models.registry import register_model
+from cotnet_tpu.models.helpers import (
+    build_model_with_cfg, default_cfg, register_variant_table)
 from cotnet_tpu.models.resnet import Downsample, ResNet
 from cotnet_tpu.nn import (
     Conv2d,
@@ -19,11 +19,7 @@ from cotnet_tpu.nn import (
     get_act_fn,
 )
 
-default_cfgs = {
-    "resnest50d": default_cfg(first_conv="conv1.0"),
-    "resnest101e": default_cfg(input_size=(3, 256, 256), pool_size=(8, 8),
-                               first_conv="conv1.0"),
-}
+default_cfgs = {}  # populated next to the variant table below
 
 
 class ResNestBottleneck(fnn.Module):
@@ -106,17 +102,38 @@ def _create_resnest(model_name, pretrained=False, **kwargs):
         **kwargs)
 
 
-@register_model
-def resnest50d(pretrained=False, **kwargs):
-    return _create_resnest(
-        "resnest50d", pretrained, block=ResNestBottleneck, layers=(3, 4, 6, 3),
-        stem_type="deep", stem_width=32, avg_down=True, base_width=64,
-        block_args=dict(radix=2, avd=True, avd_first=False), **kwargs)
+def _nest(layers, stem_width=32, base_width=64, cardinality=1,
+          radix=2, avd_first=False):
+    return dict(block=ResNestBottleneck, layers=layers, stem_type="deep",
+                stem_width=stem_width, avg_down=True, base_width=base_width,
+                cardinality=cardinality,
+                block_args=dict(radix=radix, avd=True, avd_first=avd_first))
 
 
-@register_model
-def resnest101e(pretrained=False, **kwargs):
-    return _create_resnest(
-        "resnest101e", pretrained, block=ResNestBottleneck, layers=(3, 4, 23, 3),
-        stem_type="deep", stem_width=64, avg_down=True, base_width=64,
-        block_args=dict(radix=2, avd=True, avd_first=False), **kwargs)
+# reference models/resnest.py:148-257
+RESNEST_VARIANTS = {
+    "resnest14d": _nest((1, 1, 1, 1)),
+    "resnest26d": _nest((2, 2, 2, 2)),
+    "resnest50d": _nest((3, 4, 6, 3)),
+    "resnest101e": _nest((3, 4, 23, 3), stem_width=64),
+    "resnest200e": _nest((3, 24, 36, 3), stem_width=64),
+    "resnest269e": _nest((3, 30, 48, 8), stem_width=64),
+    "resnest50d_4s2x40d": _nest((3, 4, 6, 3), base_width=40, cardinality=2,
+                                radix=4, avd_first=True),
+    "resnest50d_1s4x24d": _nest((3, 4, 6, 3), base_width=24, cardinality=4,
+                                radix=1, avd_first=True),
+    # avd_first variants of the paper models (resnest.py:239-257)
+    "resnest50": _nest((3, 4, 6, 3), avd_first=True),
+    "resnest101": _nest((3, 4, 23, 3), stem_width=64, avd_first=True),
+}
+
+_SIZES = {"resnest101e": 256, "resnest101": 256, "resnest200e": 320,
+          "resnest269e": 416}
+for _name in RESNEST_VARIANTS:
+    _s = _SIZES.get(_name, 224)
+    default_cfgs[_name] = default_cfg(
+        first_conv="conv1.0", input_size=(3, _s, _s),
+        pool_size=(_s // 32, _s // 32),
+        crop_pct={320: 0.909, 416: 0.928}.get(_s, 0.875))
+
+register_variant_table(__name__, _create_resnest, RESNEST_VARIANTS)

@@ -9,14 +9,11 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as fnn
 
-from cotnet_tpu.models.helpers import build_model_with_cfg, default_cfg
-from cotnet_tpu.models.registry import register_model
+from cotnet_tpu.models.helpers import (
+    build_model_with_cfg, default_cfg, register_variant_table)
 from cotnet_tpu.nn import Conv2d, SEModule, batch_norm, get_act_fn
 
-default_cfgs = {
-    "rexnet_100": default_cfg(first_conv="stem.conv", classifier="head.fc"),
-    "rexnet_130": default_cfg(first_conv="stem.conv", classifier="head.fc"),
-}
+default_cfgs = {}
 
 
 class LinearBottleneck(fnn.Module):
@@ -59,9 +56,18 @@ class LinearBottleneck(fnn.Module):
         return y
 
 
+def _make_divisible(v, divisor=8, min_value=None):
+    min_value = min_value or divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
 class ReXNet(fnn.Module):
     width_mult: float = 1.0
     depth_mult: float = 1.0
+    ch_div: int = 1  # rexnetr_*: round all widths to a multiple (mod 8)
     num_classes: int = 1000
     in_chans: int = 3
     drop_rate: float = 0.2
@@ -80,12 +86,16 @@ class ReXNet(fnn.Module):
         depth = sum(layers)
         stem_ch = int(round(32 * self.width_mult)) if self.width_mult >= 1 \
             else 32
+        if self.ch_div > 1:
+            stem_ch = _make_divisible(stem_ch, self.ch_div)
         x = Conv2d(stem_ch, 3, 2, 1, dtype=self.dtype, name="stem_conv")(x)
         x = batch_norm(x, training, name="stem_bn", dtype=self.dtype,
                        axis_name=self.axis_name)
         x = swish(x)
 
-        inplanes = 16 / self.width_mult
+        # base widths are only renormalized when SHRINKING the net
+        # (reference rexnet.py:126: initial_chs / wm if wm < 1 else initial_chs)
+        inplanes = 16 / self.width_mult if self.width_mult < 1.0 else 16.0
         final_ch = 180
         blocks = []
         ch = inplanes
@@ -95,6 +105,8 @@ class ReXNet(fnn.Module):
             for bi in range(n):
                 out_ch = int(round((inplanes + idx * final_ch / depth)
                                    * self.width_mult))
+                if self.ch_div > 1:
+                    out_ch = _make_divisible(out_ch, self.ch_div)
                 x = LinearBottleneck(
                     out_channels=out_ch, stride=s if bi == 0 else 1,
                     expand=1.0 if idx == 0 else 6.0, use_se=use_se,
@@ -105,6 +117,8 @@ class ReXNet(fnn.Module):
         if self.features_only:
             return feats
         pen = int(round(1280 * self.width_mult))
+        if self.ch_div > 1:
+            pen = _make_divisible(pen, self.ch_div)
         x = Conv2d(pen, 1, dtype=self.dtype, name="head_conv")(x)
         x = batch_norm(x, training, name="head_bn", dtype=self.dtype,
                        axis_name=self.axis_name)
@@ -117,18 +131,26 @@ class ReXNet(fnn.Module):
         return x
 
 
-def _rexnet(model_name, pretrained=False, width_mult=1.0, **kwargs):
+def _rexnet(model_name, pretrained=False, **kwargs):
     kwargs.pop("in_chans", None)
     return build_model_with_cfg(ReXNet, model_name, default_cfgs[model_name],
-                                pretrained=pretrained, width_mult=width_mult,
-                                **kwargs)
+                                pretrained=pretrained, **kwargs)
 
 
-@register_model
-def rexnet_100(pretrained=False, **kwargs):
-    return _rexnet("rexnet_100", pretrained, width_mult=1.0, **kwargs)
+# reference models/rexnet.py:216-262; rexnetr_* round channels to mod 8
+REXNET_VARIANTS = {
+    "rexnet_100": dict(width_mult=1.0),
+    "rexnet_130": dict(width_mult=1.3),
+    "rexnet_150": dict(width_mult=1.5),
+    "rexnet_200": dict(width_mult=2.0),
+    "rexnetr_100": dict(width_mult=1.0, ch_div=8),
+    "rexnetr_130": dict(width_mult=1.3, ch_div=8),
+    "rexnetr_150": dict(width_mult=1.5, ch_div=8),
+    "rexnetr_200": dict(width_mult=2.0, ch_div=8),
+}
 
+default_cfgs = {name: default_cfg(first_conv="stem.conv",
+                                  classifier="head.fc")
+                for name in REXNET_VARIANTS}
 
-@register_model
-def rexnet_130(pretrained=False, **kwargs):
-    return _rexnet("rexnet_130", pretrained, width_mult=1.3, **kwargs)
+register_variant_table(__name__, _rexnet, REXNET_VARIANTS)

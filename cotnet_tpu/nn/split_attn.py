@@ -19,11 +19,16 @@ from cotnet_tpu.nn.norm import batch_norm
 
 
 def radix_softmax(x, radix: int, cardinality: int):
-    """[N, R*C'] gate logits -> normalized gates (split_attn.py:14-28)."""
+    """[N, R*C'] gate logits -> normalized gates (split_attn.py:14-28).
+
+    The fc2 logits arrive cardinality-major ([card, radix, c], the grouped
+    conv's layout); the gates are consumed radix-major, so flatten through
+    the reference's transpose (split_attn.py:23-25)."""
     n = x.shape[0]
     if radix > 1:
         x = x.reshape(n, cardinality, radix, -1)
         x = jax.nn.softmax(x, axis=2)
+        x = jnp.transpose(x, (0, 2, 1, 3))
         return x.reshape(n, -1)
     return jax.nn.sigmoid(x)
 
@@ -67,13 +72,16 @@ class SplitAttnConv2d(fnn.Module):
             gap = jnp.sum(xr, axis=3)
         else:
             gap = x
-        gap = jnp.mean(gap, axis=(1, 2))  # [N, C']
-        gap = fnn.Dense(attn_chs, dtype=self.dtype, name="fc1")(gap)
+        # fc1/fc2 are 1x1 convs grouped by cardinality (split_attn.py:48-51)
+        gap = jnp.mean(gap, axis=(1, 2))[:, None, None, :]  # [N, 1, 1, C']
+        gap = Conv2d(attn_chs, 1, groups=self.groups, use_bias=True,
+                     dtype=self.dtype, name="fc1")(gap)
         if self.use_bn:
             gap = batch_norm(gap, training, name="bn1", dtype=self.dtype,
                              axis_name=self.axis_name)
         gap = get_act_fn(self.act)(gap)
-        attn = fnn.Dense(mid, dtype=self.dtype, name="fc2")(gap)
+        attn = Conv2d(mid, 1, groups=self.groups, use_bias=True,
+                      dtype=self.dtype, name="fc2")(gap)[:, 0, 0, :]
         attn = radix_softmax(attn, self.radix, self.groups)
 
         if self.radix > 1:
