@@ -345,6 +345,11 @@ class ResNet(fnn.Module):
                 prev_dilation = dilation
                 net_block_idx += 1
             features.append(x)
+            # features_only prunes trailing stages beyond the last requested
+            # index (reference FeatureListNet trims unused modules,
+            # features.py:153-235)
+            if self.features_only and stage_idx + 1 >= max(self.out_indices):
+                break
 
         if self.features_only:
             return [features[i] for i in self.out_indices]

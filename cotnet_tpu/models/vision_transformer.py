@@ -13,32 +13,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
-from cotnet_tpu.models.helpers import build_model_with_cfg, default_cfg
-from cotnet_tpu.models.registry import register_model
+from cotnet_tpu.models.helpers import (
+    build_model_with_cfg, default_cfg, register_variant_table)
 from cotnet_tpu.nn import Conv2d, DropPath, get_act_fn
 
-default_cfgs = {
-    "vit_tiny_patch16_224": default_cfg(mean=(0.5, 0.5, 0.5),
-                                        std=(0.5, 0.5, 0.5), crop_pct=0.9,
-                                        first_conv="patch_embed.proj",
-                                        classifier="head"),
-    "vit_small_patch16_224": default_cfg(mean=(0.5, 0.5, 0.5),
-                                         std=(0.5, 0.5, 0.5), crop_pct=0.9,
-                                         first_conv="patch_embed.proj",
-                                         classifier="head"),
-    "vit_base_patch16_224": default_cfg(mean=(0.5, 0.5, 0.5),
-                                        std=(0.5, 0.5, 0.5), crop_pct=0.9,
-                                        first_conv="patch_embed.proj",
-                                        classifier="head"),
-    "vit_base_patch32_224": default_cfg(mean=(0.5, 0.5, 0.5),
-                                        std=(0.5, 0.5, 0.5), crop_pct=0.9,
-                                        first_conv="patch_embed.proj",
-                                        classifier="head"),
-    "vit_large_patch16_224": default_cfg(mean=(0.5, 0.5, 0.5),
-                                         std=(0.5, 0.5, 0.5), crop_pct=0.9,
-                                         first_conv="patch_embed.proj",
-                                         classifier="head"),
-}
+default_cfgs = {}  # populated next to the variant table below
 
 
 class Attention(fnn.Module):
@@ -115,39 +94,59 @@ class Block(fnn.Module):
 
 
 class VisionTransformer(fnn.Module):
+    """``distilled`` adds the DeiT distillation token + second head
+    (reference vision_transformer.py:235-330); at inference the two heads are
+    averaged, and this implementation returns the average in training mode
+    too (the reference returns both logits for the distillation loss — train
+    deit against a teacher by reading the two heads from params directly).
+    ``representation_size`` inserts the tanh pre-logits layer the in21k/SAM
+    checkpoints carry (vision_transformer.py:283-288)."""
+
     patch_size: int = 16
     embed_dim: int = 768
     depth: int = 12
     num_heads: int = 12
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
+    distilled: bool = False
+    representation_size: Optional[int] = None
     num_classes: int = 1000
     in_chans: int = 3
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    backbone: Any = None  # hybrid: a flax Module producing an NHWC feature map
     dtype: Any = None
     axis_name: Optional[str] = None
     features_only: bool = False
 
     @fnn.compact
     def __call__(self, x, training: bool = False):
-        n, hh, ww, _ = x.shape
+        n = x.shape[0]
         p = self.patch_size
+        if self.backbone is not None:
+            x = self.backbone(x, training=training)
+            if isinstance(x, (list, tuple)):
+                x = x[-1]
         x = Conv2d(self.embed_dim, p, p, 0, use_bias=True, dtype=self.dtype,
                    kernel_init=fnn.initializers.lecun_normal(),
                    name="patch_embed")(x)
         gh, gw = x.shape[1], x.shape[2]
         x = x.reshape(n, gh * gw, self.embed_dim)
 
+        n_prefix = 2 if self.distilled else 1
         cls = self.param("cls_token", fnn.initializers.zeros,
                          (1, 1, self.embed_dim), jnp.float32)
+        prefix = [jnp.broadcast_to(cls, (n, 1, self.embed_dim)).astype(x.dtype)]
+        if self.distilled:
+            dist = self.param("dist_token", fnn.initializers.zeros,
+                              (1, 1, self.embed_dim), jnp.float32)
+            prefix.append(
+                jnp.broadcast_to(dist, (n, 1, self.embed_dim)).astype(x.dtype))
         pos = self.param("pos_embed",
                          fnn.initializers.normal(0.02),
-                         (1, gh * gw + 1, self.embed_dim), jnp.float32)
-        x = jnp.concatenate(
-            [jnp.broadcast_to(cls, (n, 1, self.embed_dim)).astype(x.dtype), x],
-            axis=1)
+                         (1, gh * gw + n_prefix, self.embed_dim), jnp.float32)
+        x = jnp.concatenate(prefix + [x], axis=1)
         x = x + pos.astype(x.dtype)
         if self.drop_rate and training:
             x = fnn.Dropout(self.drop_rate, deterministic=False)(x)
@@ -163,44 +162,105 @@ class VisionTransformer(fnn.Module):
         if self.features_only:
             return feats
         cls_out = x[:, 0]
+        if self.representation_size and not self.distilled:
+            cls_out = jnp.tanh(fnn.Dense(self.representation_size,
+                                         dtype=self.dtype,
+                                         name="pre_logits")(cls_out))
         if self.num_classes > 0:
-            return fnn.Dense(self.num_classes, dtype=self.dtype,
-                             name="head")(cls_out)
+            out = fnn.Dense(self.num_classes, dtype=self.dtype,
+                            name="head")(cls_out)
+            if self.distilled:
+                out_dist = fnn.Dense(self.num_classes, dtype=self.dtype,
+                                     name="head_dist")(x[:, 1])
+                out = (out + out_dist) / 2
+            return out
         return cls_out
 
 
 def _vit(model_name, pretrained=False, **kwargs):
     kwargs.pop("in_chans", None)
+    # reference drops the pre-logits layer when fine-tuning to a new class
+    # count (vision_transformer.py:530-536)
+    cfg_nc = default_cfgs.get(model_name, {}).get("num_classes", 1000)
+    if kwargs.get("representation_size") and \
+            kwargs.get("num_classes", cfg_nc) != cfg_nc:
+        kwargs.pop("representation_size")
     return build_model_with_cfg(
         VisionTransformer, model_name, default_cfgs[model_name],
         pretrained=pretrained, **kwargs)
 
 
-@register_model
-def vit_tiny_patch16_224(pretrained=False, **kwargs):
-    return _vit("vit_tiny_patch16_224", pretrained, patch_size=16,
-                embed_dim=192, depth=12, num_heads=3, **kwargs)
+# --- variant tables (reference vision_transformer.py:548-892) --------------
+
+def _dims(patch, dim, depth, heads, **extra):
+    d = dict(patch_size=patch, embed_dim=dim, depth=depth, num_heads=heads)
+    d.update(extra)
+    return d
 
 
-@register_model
-def vit_small_patch16_224(pretrained=False, **kwargs):
-    return _vit("vit_small_patch16_224", pretrained, patch_size=16,
-                embed_dim=384, depth=12, num_heads=6, **kwargs)
+_TINY = (16, 192, 12, 3)
+_SMALL = (16, 384, 12, 6)
+_BASE = (16, 768, 12, 12)
+_LARGE = (16, 1024, 24, 16)
 
+VIT_VARIANTS = {
+    "vit_tiny_patch16_224": _dims(*_TINY),
+    "vit_tiny_patch16_384": _dims(*_TINY),
+    "vit_small_patch32_224": _dims(32, 384, 12, 6),
+    "vit_small_patch32_384": _dims(32, 384, 12, 6),
+    "vit_small_patch16_224": _dims(*_SMALL),
+    "vit_small_patch16_384": _dims(*_SMALL),
+    "vit_base_patch32_224": _dims(32, 768, 12, 12),
+    "vit_base_patch32_384": _dims(32, 768, 12, 12),
+    "vit_base_patch16_224": _dims(*_BASE),
+    "vit_base_patch16_384": _dims(*_BASE),
+    "vit_large_patch32_224": _dims(32, 1024, 24, 16),
+    "vit_large_patch32_384": _dims(32, 1024, 24, 16),
+    "vit_large_patch16_224": _dims(*_LARGE),
+    "vit_large_patch16_384": _dims(*_LARGE),
+    # SAM-pretrained (repr layer kept, vision_transformer.py:683-695)
+    "vit_base_patch16_sam_224": _dims(*_BASE, representation_size=768),
+    "vit_base_patch32_sam_224": _dims(32, 768, 12, 12,
+                                      representation_size=768),
+    # in21k (21843-class default_cfg; large_p32 + huge keep pre-logits)
+    "vit_tiny_patch16_224_in21k": _dims(*_TINY),
+    "vit_small_patch32_224_in21k": _dims(32, 384, 12, 6),
+    "vit_small_patch16_224_in21k": _dims(*_SMALL),
+    "vit_base_patch32_224_in21k": _dims(32, 768, 12, 12),
+    "vit_base_patch16_224_in21k": _dims(*_BASE),
+    "vit_large_patch32_224_in21k": _dims(32, 1024, 24, 16,
+                                         representation_size=1024),
+    "vit_large_patch16_224_in21k": _dims(*_LARGE),
+    "vit_huge_patch14_224_in21k": _dims(14, 1280, 32, 16,
+                                        representation_size=1280),
+    # DeiT (vision_transformer.py:793-876)
+    "deit_tiny_patch16_224": _dims(*_TINY),
+    "deit_small_patch16_224": _dims(*_SMALL),
+    "deit_base_patch16_224": _dims(*_BASE),
+    "deit_base_patch16_384": _dims(*_BASE),
+    "deit_tiny_distilled_patch16_224": _dims(*_TINY, distilled=True),
+    "deit_small_distilled_patch16_224": _dims(*_SMALL, distilled=True),
+    "deit_base_distilled_patch16_224": _dims(*_BASE, distilled=True),
+    "deit_base_distilled_patch16_384": _dims(*_BASE, distilled=True),
+    # MIIL (qkv_bias=False)
+    "vit_base_patch16_224_miil_in21k": _dims(*_BASE, qkv_bias=False),
+    "vit_base_patch16_224_miil": _dims(*_BASE, qkv_bias=False),
+}
 
-@register_model
-def vit_base_patch16_224(pretrained=False, **kwargs):
-    return _vit("vit_base_patch16_224", pretrained, patch_size=16,
-                embed_dim=768, depth=12, num_heads=12, **kwargs)
+for _name, _row in VIT_VARIANTS.items():
+    _size = 384 if "_384" in _name else 224
+    _nc = 21843 if "in21k" in _name else 1000
+    if "miil" in _name:
+        _mean, _std, _interp = (0, 0, 0), (1, 1, 1), "bilinear"
+    elif _name.startswith("deit"):
+        _mean, _std, _interp = ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225),
+                                "bicubic")
+    else:
+        _mean, _std, _interp = (0.5, 0.5, 0.5), (0.5, 0.5, 0.5), "bicubic"
+    default_cfgs[_name] = default_cfg(
+        input_size=(3, _size, _size), num_classes=_nc,
+        crop_pct=1.0 if _size == 384 else 0.9, interpolation=_interp,
+        mean=_mean, std=_std, first_conv="patch_embed.proj",
+        classifier="head")
 
-
-@register_model
-def vit_base_patch32_224(pretrained=False, **kwargs):
-    return _vit("vit_base_patch32_224", pretrained, patch_size=32,
-                embed_dim=768, depth=12, num_heads=12, **kwargs)
-
-
-@register_model
-def vit_large_patch16_224(pretrained=False, **kwargs):
-    return _vit("vit_large_patch16_224", pretrained, patch_size=16,
-                embed_dim=1024, depth=24, num_heads=16, **kwargs)
+register_variant_table(__name__, _vit, VIT_VARIANTS)
