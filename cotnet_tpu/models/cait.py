@@ -10,21 +10,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
-from cotnet_tpu.models.helpers import build_model_with_cfg, default_cfg
-from cotnet_tpu.models.registry import register_model
+from cotnet_tpu.models.helpers import (
+    build_model_with_cfg, default_cfg, register_variant_table)
 from cotnet_tpu.models.vision_transformer import Mlp
 from cotnet_tpu.nn import Conv2d, DropPath
 
-default_cfgs = {
-    "cait_xxs24_224": default_cfg(crop_pct=1.0, mean=(0.5, 0.5, 0.5),
-                                  std=(0.5, 0.5, 0.5),
-                                  first_conv="patch_embed.proj",
-                                  classifier="head"),
-    "cait_s24_224": default_cfg(crop_pct=1.0, mean=(0.5, 0.5, 0.5),
-                                std=(0.5, 0.5, 0.5),
-                                first_conv="patch_embed.proj",
-                                classifier="head"),
-}
+default_cfgs = {}  # populated next to the variant table below
 
 
 class TalkingHeadAttn(fnn.Module):
@@ -185,13 +176,32 @@ def _cait(model_name, pretrained=False, **kwargs):
                                 pretrained=pretrained, **kwargs)
 
 
-@register_model
-def cait_xxs24_224(pretrained=False, **kwargs):
-    return _cait("cait_xxs24_224", pretrained, embed_dim=192, depth=24,
-                 num_heads=4, **kwargs)
+# reference cait.py:330-403
+def _cait_row(dim, depth, heads, init_scale):
+    return dict(patch_size=16, embed_dim=dim, depth=depth, num_heads=heads,
+                init_values=init_scale)
 
 
-@register_model
-def cait_s24_224(pretrained=False, **kwargs):
-    return _cait("cait_s24_224", pretrained, embed_dim=384, depth=24,
-                 num_heads=8, **kwargs)
+CAIT_VARIANTS = {
+    "cait_xxs24_224": _cait_row(192, 24, 4, 1e-5),
+    "cait_xxs24_384": _cait_row(192, 24, 4, 1e-5),
+    "cait_xxs36_224": _cait_row(192, 36, 4, 1e-5),
+    "cait_xxs36_384": _cait_row(192, 36, 4, 1e-5),
+    "cait_xs24_384": _cait_row(288, 24, 6, 1e-5),
+    "cait_s24_224": _cait_row(384, 24, 8, 1e-5),
+    "cait_s24_384": _cait_row(384, 24, 8, 1e-5),
+    "cait_s36_224": _cait_row(384, 36, 8, 1e-6),
+    "cait_s36_384": _cait_row(384, 36, 8, 1e-6),
+    "cait_m36_384": _cait_row(768, 36, 16, 1e-6),
+    "cait_m48_448": _cait_row(768, 48, 16, 1e-6),
+}
+
+default_cfgs = {}
+for _name in CAIT_VARIANTS:
+    _size = int(_name.rsplit("_", 1)[1])
+    default_cfgs[_name] = default_cfg(
+        input_size=(3, _size, _size), crop_pct=1.0,
+        mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
+        first_conv="patch_embed.proj", classifier="head")
+
+register_variant_table(__name__, _cait, CAIT_VARIANTS)

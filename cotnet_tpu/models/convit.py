@@ -23,6 +23,9 @@ default_cfgs = {
     "convit_small": default_cfg(mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
                                 first_conv="patch_embed.proj",
                                 classifier="head"),
+    "convit_base": default_cfg(mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
+                               first_conv="patch_embed.proj",
+                               classifier="head"),
 }
 
 
@@ -168,4 +171,10 @@ def convit_tiny(pretrained=False, **kwargs):
 @register_model
 def convit_small(pretrained=False, **kwargs):
     return _convit("convit_small", pretrained, embed_dim=432, num_heads=9,
+                   **kwargs)
+
+
+@register_model
+def convit_base(pretrained=False, **kwargs):
+    return _convit("convit_base", pretrained, embed_dim=768, num_heads=16,
                    **kwargs)

@@ -11,18 +11,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
-from cotnet_tpu.models.helpers import build_model_with_cfg, default_cfg
-from cotnet_tpu.models.registry import register_model
+from cotnet_tpu.models.helpers import (
+    build_model_with_cfg, default_cfg, register_variant_table)
 from cotnet_tpu.nn import Conv2d, batch_norm, get_act_fn
 
-default_cfgs = {
-    "levit_128": default_cfg(crop_pct=0.9, first_conv="stem.0",
-                             classifier="head"),
-    "levit_192": default_cfg(crop_pct=0.9, first_conv="stem.0",
-                             classifier="head"),
-    "levit_256": default_cfg(crop_pct=0.9, first_conv="stem.0",
-                             classifier="head"),
-}
+default_cfgs = {}  # populated next to the variant table below
 
 
 class LinearBN(fnn.Module):
@@ -226,19 +219,23 @@ def _levit(model_name, pretrained=False, **kwargs):
                                 pretrained=pretrained, **kwargs)
 
 
-@register_model
-def levit_128(pretrained=False, **kwargs):
-    return _levit("levit_128", pretrained, embed_dims=(128, 256, 384),
-                  num_heads=(4, 8, 12), depths=(4, 4, 4), **kwargs)
+# reference levit.py:69-81 model_cfgs
+LEVIT_VARIANTS = {
+    "levit_128s": dict(embed_dims=(128, 256, 384), key_dim=16,
+                       num_heads=(4, 6, 8), depths=(2, 3, 4)),
+    "levit_128": dict(embed_dims=(128, 256, 384), key_dim=16,
+                      num_heads=(4, 8, 12), depths=(4, 4, 4)),
+    "levit_192": dict(embed_dims=(192, 288, 384), key_dim=32,
+                      num_heads=(3, 5, 6), depths=(4, 4, 4)),
+    "levit_256": dict(embed_dims=(256, 384, 512), key_dim=32,
+                      num_heads=(4, 6, 8), depths=(4, 4, 4)),
+    "levit_384": dict(embed_dims=(384, 512, 768), key_dim=32,
+                      num_heads=(6, 9, 12), depths=(4, 4, 4)),
+}
 
+default_cfgs = {
+    name: default_cfg(crop_pct=0.9, first_conv="patch_embed.0.c",
+                      classifier=("head.l", "head_dist.l"))
+    for name in LEVIT_VARIANTS}
 
-@register_model
-def levit_192(pretrained=False, **kwargs):
-    return _levit("levit_192", pretrained, embed_dims=(192, 288, 384),
-                  key_dim=32, num_heads=(3, 5, 6), depths=(4, 4, 4), **kwargs)
-
-
-@register_model
-def levit_256(pretrained=False, **kwargs):
-    return _levit("levit_256", pretrained, embed_dims=(256, 384, 512),
-                  key_dim=32, num_heads=(4, 6, 8), depths=(4, 4, 4), **kwargs)
+register_variant_table(__name__, _levit, LEVIT_VARIANTS)

@@ -10,19 +10,12 @@ from typing import Any, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as fnn
 
-from cotnet_tpu.models.helpers import build_model_with_cfg, default_cfg
-from cotnet_tpu.models.registry import register_model
+from cotnet_tpu.models.helpers import (
+    build_model_with_cfg, default_cfg, register_variant_table)
 from cotnet_tpu.models.vision_transformer import Block
 from cotnet_tpu.nn import Conv2d
 
-default_cfgs = {
-    "pit_ti_224": default_cfg(crop_pct=0.9, first_conv="patch_embed.conv",
-                              classifier="head"),
-    "pit_s_224": default_cfg(crop_pct=0.9, first_conv="patch_embed.conv",
-                             classifier="head"),
-    "pit_b_224": default_cfg(crop_pct=0.9, first_conv="patch_embed.conv",
-                             classifier="head"),
-}
+default_cfgs = {}  # populated next to the variant table below
 
 
 class PoolingTransformer(fnn.Module):
@@ -32,6 +25,7 @@ class PoolingTransformer(fnn.Module):
     depths: Sequence[int] = (2, 6, 4)
     heads: Sequence[int] = (2, 4, 8)
     mlp_ratio: float = 4.0
+    distilled: bool = False  # DeiT-style second token + head (pit.py:220+)
     num_classes: int = 1000
     in_chans: int = 3
     drop_rate: float = 0.0
@@ -52,9 +46,10 @@ class PoolingTransformer(fnn.Module):
         pos = self.param("pos_embed", fnn.initializers.normal(0.02),
                          (1, gh, gw, dim0), jnp.float32)
         x = x + pos.astype(x.dtype)
+        n_tok = 2 if self.distilled else 1
         cls = self.param("cls_token", fnn.initializers.normal(0.02),
-                         (1, 1, dim0), jnp.float32)
-        cls_tok = jnp.broadcast_to(cls, (n, 1, dim0)).astype(x.dtype)
+                         (1, n_tok, dim0), jnp.float32)
+        cls_tok = jnp.broadcast_to(cls, (n, n_tok, dim0)).astype(x.dtype)
 
         total = sum(self.depths)
         idx = 0
@@ -79,16 +74,22 @@ class PoolingTransformer(fnn.Module):
                                name=f"transformers_{si}_blocks_{bi}")(
                                    tokens, training)
                 idx += 1
-            cls_tok = tokens[:, :1]
-            x = tokens[:, 1:].reshape(n, gh, gw, dim)
+            cls_tok = tokens[:, :n_tok]
+            x = tokens[:, n_tok:].reshape(n, gh, gw, dim)
             feats.append(x)
         if self.features_only:
             return feats
-        cls_out = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                                name="norm")(cls_tok[:, 0])
+        cls_tok = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                name="norm")(cls_tok)
+        cls_out = cls_tok[:, 0]
         if self.num_classes > 0:
-            return fnn.Dense(self.num_classes, dtype=self.dtype,
-                             name="head")(cls_out)
+            out = fnn.Dense(self.num_classes, dtype=self.dtype,
+                            name="head")(cls_out)
+            if self.distilled:
+                out_dist = fnn.Dense(self.num_classes, dtype=self.dtype,
+                                     name="head_dist")(cls_tok[:, 1])
+                out = (out + out_dist) / 2
+            return out
         return cls_out
 
 
@@ -99,20 +100,30 @@ def _pit(model_name, pretrained=False, **kwargs):
                                 pretrained=pretrained, **kwargs)
 
 
-@register_model
-def pit_ti_224(pretrained=False, **kwargs):
-    return _pit("pit_ti_224", pretrained, base_dims=(32, 32, 32),
-                depths=(2, 6, 4), heads=(2, 4, 8), **kwargs)
+# reference pit.py:283-383
+_PIT_TI = dict(patch_size=16, stride=8, base_dims=(32, 32, 32),
+               depths=(2, 6, 4), heads=(2, 4, 8))
+_PIT_XS = dict(patch_size=16, stride=8, base_dims=(48, 48, 48),
+               depths=(2, 6, 4), heads=(2, 4, 8))
+_PIT_S = dict(patch_size=16, stride=8, base_dims=(48, 48, 48),
+              depths=(2, 6, 4), heads=(3, 6, 12))
+_PIT_B = dict(patch_size=14, stride=7, base_dims=(64, 64, 64),
+              depths=(3, 6, 4), heads=(4, 8, 16))
 
+PIT_VARIANTS = {
+    "pit_ti_224": dict(_PIT_TI),
+    "pit_xs_224": dict(_PIT_XS),
+    "pit_s_224": dict(_PIT_S),
+    "pit_b_224": dict(_PIT_B),
+    "pit_ti_distilled_224": dict(_PIT_TI, distilled=True),
+    "pit_xs_distilled_224": dict(_PIT_XS, distilled=True),
+    "pit_s_distilled_224": dict(_PIT_S, distilled=True),
+    "pit_b_distilled_224": dict(_PIT_B, distilled=True),
+}
 
-@register_model
-def pit_s_224(pretrained=False, **kwargs):
-    return _pit("pit_s_224", pretrained, base_dims=(48, 48, 48),
-                depths=(2, 6, 4), heads=(3, 6, 12), **kwargs)
+default_cfgs = {
+    name: default_cfg(crop_pct=0.9, first_conv="patch_embed.conv",
+                      classifier="head")
+    for name in PIT_VARIANTS}
 
-
-@register_model
-def pit_b_224(pretrained=False, **kwargs):
-    return _pit("pit_b_224", pretrained, patch_size=14, stride=7,
-                base_dims=(64, 64, 64), depths=(3, 6, 4), heads=(4, 8, 16),
-                **kwargs)
+register_variant_table(__name__, _pit, PIT_VARIANTS)

@@ -14,19 +14,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
-from cotnet_tpu.models.helpers import build_model_with_cfg, default_cfg
-from cotnet_tpu.models.registry import register_model
+from cotnet_tpu.models.helpers import (
+    build_model_with_cfg, default_cfg, register_variant_table)
 from cotnet_tpu.models.vision_transformer import Mlp
 from cotnet_tpu.nn import Conv2d, DropPath
 
-default_cfgs = {
-    "swin_tiny_patch4_window7_224": default_cfg(
-        crop_pct=0.9, first_conv="patch_embed.proj", classifier="head"),
-    "swin_small_patch4_window7_224": default_cfg(
-        crop_pct=0.9, first_conv="patch_embed.proj", classifier="head"),
-    "swin_base_patch4_window7_224": default_cfg(
-        crop_pct=0.9, first_conv="patch_embed.proj", classifier="head"),
-}
+default_cfgs = {}  # populated next to the variant table below
 
 
 def window_partition(x, ws):
@@ -196,19 +189,42 @@ def _swin(model_name, pretrained=False, **kwargs):
                                 pretrained=pretrained, **kwargs)
 
 
-@register_model
-def swin_tiny_patch4_window7_224(pretrained=False, **kwargs):
-    return _swin("swin_tiny_patch4_window7_224", pretrained, embed_dim=96,
-                 depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24), **kwargs)
+# reference swin_transformer.py:566-651
+def _swin_row(dim, depths, heads, window):
+    return dict(patch_size=4, window_size=window, embed_dim=dim,
+                depths=depths, num_heads=heads)
 
 
-@register_model
-def swin_small_patch4_window7_224(pretrained=False, **kwargs):
-    return _swin("swin_small_patch4_window7_224", pretrained, embed_dim=96,
-                 depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24), **kwargs)
+SWIN_VARIANTS = {
+    "swin_tiny_patch4_window7_224": _swin_row(
+        96, (2, 2, 6, 2), (3, 6, 12, 24), 7),
+    "swin_small_patch4_window7_224": _swin_row(
+        96, (2, 2, 18, 2), (3, 6, 12, 24), 7),
+    "swin_base_patch4_window7_224": _swin_row(
+        128, (2, 2, 18, 2), (4, 8, 16, 32), 7),
+    "swin_base_patch4_window12_384": _swin_row(
+        128, (2, 2, 18, 2), (4, 8, 16, 32), 12),
+    "swin_large_patch4_window7_224": _swin_row(
+        192, (2, 2, 18, 2), (6, 12, 24, 48), 7),
+    "swin_large_patch4_window12_384": _swin_row(
+        192, (2, 2, 18, 2), (6, 12, 24, 48), 12),
+    "swin_base_patch4_window7_224_in22k": _swin_row(
+        128, (2, 2, 18, 2), (4, 8, 16, 32), 7),
+    "swin_base_patch4_window12_384_in22k": _swin_row(
+        128, (2, 2, 18, 2), (4, 8, 16, 32), 12),
+    "swin_large_patch4_window7_224_in22k": _swin_row(
+        192, (2, 2, 18, 2), (6, 12, 24, 48), 7),
+    "swin_large_patch4_window12_384_in22k": _swin_row(
+        192, (2, 2, 18, 2), (6, 12, 24, 48), 12),
+}
 
+default_cfgs = {}
+for _name in SWIN_VARIANTS:
+    _size = 384 if "_384" in _name else 224
+    default_cfgs[_name] = default_cfg(
+        input_size=(3, _size, _size),
+        crop_pct=1.0 if _size == 384 else 0.9,
+        num_classes=21841 if "in22k" in _name else 1000,
+        first_conv="patch_embed.proj", classifier="head")
 
-@register_model
-def swin_base_patch4_window7_224(pretrained=False, **kwargs):
-    return _swin("swin_base_patch4_window7_224", pretrained, embed_dim=128,
-                 depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32), **kwargs)
+register_variant_table(__name__, _swin, SWIN_VARIANTS)

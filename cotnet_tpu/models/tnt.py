@@ -19,6 +19,10 @@ default_cfgs = {
                                      std=(0.5, 0.5, 0.5), crop_pct=0.9,
                                      first_conv="pixel_embed.proj",
                                      classifier="head"),
+    "tnt_b_patch16_224": default_cfg(mean=(0.5, 0.5, 0.5),
+                                     std=(0.5, 0.5, 0.5), crop_pct=0.9,
+                                     first_conv="pixel_embed.proj",
+                                     classifier="head"),
 }
 
 
@@ -145,3 +149,12 @@ def tnt_s_patch16_224(pretrained=False, **kwargs):
         TNT, "tnt_s_patch16_224", default_cfgs["tnt_s_patch16_224"],
         pretrained=pretrained, embed_dim=384, inner_dim=24, depth=12,
         outer_heads=6, inner_heads=4, **kwargs)
+
+
+@register_model
+def tnt_b_patch16_224(pretrained=False, **kwargs):
+    kwargs.pop("in_chans", None)
+    return build_model_with_cfg(
+        TNT, "tnt_b_patch16_224", default_cfgs["tnt_b_patch16_224"],
+        pretrained=pretrained, embed_dim=640, inner_dim=40, depth=12,
+        outer_heads=10, inner_heads=4, **kwargs)

@@ -11,17 +11,12 @@ import jax.numpy as jnp
 from flax import linen as fnn
 
 from cotnet_tpu.models.cait import ClassAttn
-from cotnet_tpu.models.helpers import build_model_with_cfg, default_cfg
-from cotnet_tpu.models.registry import register_model
+from cotnet_tpu.models.helpers import (
+    build_model_with_cfg, default_cfg, register_variant_table)
 from cotnet_tpu.models.vision_transformer import Mlp
 from cotnet_tpu.nn import Conv2d, DropPath, batch_norm, get_act_fn
 
-default_cfgs = {
-    "xcit_tiny_12_p16_224": default_cfg(first_conv="patch_embed.proj.0.0",
-                                        classifier="head"),
-    "xcit_small_12_p16_224": default_cfg(first_conv="patch_embed.proj.0.0",
-                                         classifier="head"),
-}
+default_cfgs = {}  # populated next to the variant table below
 
 
 class XCA(fnn.Module):
@@ -122,6 +117,7 @@ class XCiT(fnn.Module):
     num_heads: int = 4
     cls_attn_layers: int = 2
     eta: float = 1.0
+    tokens_norm: bool = True  # norm all tokens (vs just cls) in CA blocks
     num_classes: int = 1000
     in_chans: int = 3
     drop_rate: float = 0.0
@@ -149,10 +145,32 @@ class XCiT(fnn.Module):
                 x = get_act_fn("gelu")(x)
         gh, gw = x.shape[1], x.shape[2]
         tokens = x.reshape(n, gh * gw, self.embed_dim)
-        # XCiT uses fixed sinusoidal positional encodings; learnable here
-        pos = self.param("pos_embed", fnn.initializers.normal(0.02),
-                         (1, gh * gw, self.embed_dim), jnp.float32)
-        tokens = tokens + pos.astype(tokens.dtype)
+        # Fourier positional encoding + learned 1x1 projection (reference
+        # PositionalEncodingFourier, xcit.py:37-77): sin/cos features of
+        # normalized (y, x) grid coords, hidden_dim=32 per axis
+        hidden = 32
+        coords = jnp.arange(1, gh + 1, dtype=jnp.float32)
+        y_embed = coords[:, None] / (gh + 1e-6) * (2 * jnp.pi)
+        coords_w = jnp.arange(1, gw + 1, dtype=jnp.float32)
+        x_embed = coords_w[None, :] / (gw + 1e-6) * (2 * jnp.pi)
+        dim_t = 10000.0 ** (2 * (jnp.arange(hidden) // 2) / hidden)
+        pos_y = jnp.broadcast_to(y_embed[:, :, None],
+                                 (gh, 1, hidden)) / dim_t
+        pos_x = jnp.broadcast_to(x_embed[:, :, None],
+                                 (1, gw, hidden)) / dim_t
+        pos_y = jnp.stack([jnp.sin(pos_y[..., 0::2]),
+                           jnp.cos(pos_y[..., 1::2])], axis=-1).reshape(
+            gh, 1, hidden)
+        pos_x = jnp.stack([jnp.sin(pos_x[..., 0::2]),
+                           jnp.cos(pos_x[..., 1::2])], axis=-1).reshape(
+            1, gw, hidden)
+        pos = jnp.concatenate([jnp.broadcast_to(pos_y, (gh, gw, hidden)),
+                               jnp.broadcast_to(pos_x, (gh, gw, hidden))],
+                              axis=-1)[None]  # [1, gh, gw, 64]
+        pos = Conv2d(self.embed_dim, 1, use_bias=True, dtype=self.dtype,
+                     name="pos_proj")(pos)
+        tokens = tokens + pos.reshape(1, gh * gw,
+                                      self.embed_dim).astype(tokens.dtype)
 
         for i in range(self.depth):
             dpr = self.drop_path_rate * i / max(self.depth - 1, 1)
@@ -167,19 +185,36 @@ class XCiT(fnn.Module):
         tokens = jnp.concatenate(
             [jnp.broadcast_to(cls, (n, 1, self.embed_dim)
                               ).astype(tokens.dtype), tokens], axis=1)
+        # class-attention blocks with per-branch layer-scale gammas and the
+        # tokens_norm choice (reference ClassAttentionBlock, xcit.py:215-262)
+        d = self.embed_dim
         for i in range(self.cls_attn_layers):
+            g1 = self.param(f"ca_gamma1_{i}",
+                            fnn.initializers.constant(self.eta), (d,),
+                            jnp.float32)
+            g2 = self.param(f"ca_gamma2_{i}",
+                            fnn.initializers.constant(self.eta), (d,),
+                            jnp.float32)
             y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                               name=f"ca_norm{i}")(tokens)
             a = ClassAttn(self.num_heads, dtype=self.dtype,
                           name=f"cls_attn_{i}")(y, training)
-            tokens = jnp.concatenate([tokens[:, :1] + a, tokens[:, 1:]],
-                                     axis=1)
-            y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                              name=f"ca_norm_mlp{i}")(tokens)
+            tokens = jnp.concatenate(
+                [tokens[:, :1] + g1.astype(a.dtype) * a, tokens[:, 1:]],
+                axis=1)
+            if self.tokens_norm:
+                y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                  name=f"ca_norm_mlp{i}")(tokens)
+            else:
+                y = jnp.concatenate(
+                    [fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                   name=f"ca_norm_mlp{i}")(tokens[:, :1]),
+                     tokens[:, 1:]], axis=1)
             m = Mlp(int(self.embed_dim * 4), dtype=self.dtype,
                     name=f"ca_mlp{i}")(y[:, :1], training)
-            tokens = jnp.concatenate([tokens[:, :1] + m, tokens[:, 1:]],
-                                     axis=1)
+            tokens = jnp.concatenate(
+                [tokens[:, :1] + g2.astype(m.dtype) * m, tokens[:, 1:]],
+                axis=1)
         out = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                             name="norm")(tokens[:, 0])
         if self.num_classes > 0:
@@ -194,13 +229,33 @@ def _xcit(model_name, pretrained=False, **kwargs):
                                 pretrained=pretrained, **kwargs)
 
 
-@register_model
-def xcit_tiny_12_p16_224(pretrained=False, **kwargs):
-    return _xcit("xcit_tiny_12_p16_224", pretrained, embed_dim=192, depth=12,
-                 num_heads=4, **kwargs)
+# reference xcit.py:477-810 — every variant is derivable from its name:
+# xcit_{size}_{depth}_p{patch}_{res}[_dist]; eta=1.0 @ depth12, 1e-5 @
+# depth24; tokens_norm False only for nano
+_XCIT_SIZES = {"nano": (128, 4), "tiny": (192, 4), "small": (384, 8),
+               "medium": (512, 8), "large": (768, 16)}
 
+XCIT_VARIANTS = {}
+for _size in ("nano", "tiny", "small", "medium", "large"):
+    for _depth in (12, 24):
+        if _size in ("medium", "large") and _depth == 12:
+            continue
+        if _size == "nano" and _depth == 24:
+            continue
+        for _patch in (16, 8):
+            _dim, _heads = _XCIT_SIZES[_size]
+            _row = dict(patch_size=_patch, embed_dim=_dim, depth=_depth,
+                        num_heads=_heads,
+                        eta=1.0 if _depth == 12 else 1e-5,
+                        tokens_norm=_size != "nano")
+            XCIT_VARIANTS[f"xcit_{_size}_{_depth}_p{_patch}_224"] = _row
+            XCIT_VARIANTS[f"xcit_{_size}_{_depth}_p{_patch}_224_dist"] = _row
+            XCIT_VARIANTS[f"xcit_{_size}_{_depth}_p{_patch}_384_dist"] = _row
 
-@register_model
-def xcit_small_12_p16_224(pretrained=False, **kwargs):
-    return _xcit("xcit_small_12_p16_224", pretrained, embed_dim=384, depth=12,
-                 num_heads=8, **kwargs)
+default_cfgs = {
+    name: default_cfg(
+        input_size=(3, 384, 384) if "_384_" in name + "_" else (3, 224, 224),
+        crop_pct=1.0, first_conv="patch_embed.proj.0.0", classifier="head")
+    for name in XCIT_VARIANTS}
+
+register_variant_table(__name__, _xcit, XCIT_VARIANTS)
