@@ -1,6 +1,14 @@
-"""CoaT-Lite (reference models/coat.py, 659 LoC — the serial-block 'lite'
-variants): factorized attention (softmax over keys, then k^T v) with a
-convolutional relative position encoding and conv position embedding."""
+"""CoaT (reference models/coat.py, 659 LoC).
+
+Co-scale conv-attentional transformers: factorized attention (softmax over
+keys, then k^T v) with a multi-window depthwise-conv relative position
+encoding (crpe_window {3:2, 5:3, 7:3} — heads split across window sizes,
+coat.py:335) and a depthwise conv position encoding, with a cls token per
+serial stage.  'Lite' variants are serial-only; coat_tiny/coat_mini add
+``parallel_depth`` co-scale blocks over stages 2-4 with bilinear cross-scale
+feature exchange and an aggregate head over the three cls tokens
+(ParallelBlock, coat.py:231-326; aggregate Conv1d, coat.py:445,580).
+"""
 
 from __future__ import annotations
 
@@ -10,42 +18,54 @@ import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
-from cotnet_tpu.models.helpers import build_model_with_cfg, default_cfg
-from cotnet_tpu.models.registry import register_model
+from cotnet_tpu.models.helpers import (
+    build_model_with_cfg, default_cfg, register_variant_table)
 from cotnet_tpu.models.vision_transformer import Mlp
 from cotnet_tpu.nn import Conv2d, DropPath
 
-default_cfgs = {
-    "coat_lite_tiny": default_cfg(first_conv="patch_embed1.proj",
-                                  classifier="head"),
-    "coat_lite_mini": default_cfg(first_conv="patch_embed1.proj",
-                                  classifier="head"),
-}
+default_cfgs = {}
+
+# heads per conv window size (reference coat.py:335)
+_CRPE_WINDOWS = ((3, 2), (5, 3), (7, 3))
 
 
 class ConvRelPosEnc(fnn.Module):
-    """Depthwise-conv relative position encoding on v, gated by q
-    (coat.py ConvRelPosEnc; single window size per head group)."""
+    """Depthwise-conv relative position encoding on v, gated by q; heads are
+    split across window sizes; the cls row passes through as zero
+    (coat.py ConvRelPosEnc)."""
 
     num_heads: int
-    window: int = 3
     dtype: Any = None
 
     @fnn.compact
     def __call__(self, q, v, hw):
         n, h, l, dh = q.shape
         gh, gw = hw
-        vi = v.transpose(0, 2, 1, 3).reshape(n, gh, gw, h * dh)
-        pad = self.window // 2
-        ve = Conv2d(h * dh, self.window, 1, pad, groups=h * dh,
-                    use_bias=True, dtype=self.dtype, name="conv")(vi)
-        ve = ve.reshape(n, l, h, dh).transpose(0, 2, 1, 3)
-        return q * ve
+        has_cls = l == gh * gw + 1
+        q_img = q[:, :, 1:] if has_cls else q
+        v_img = v[:, :, 1:] if has_cls else v
+        vi = v_img.transpose(0, 2, 1, 3).reshape(n, gh, gw, h * dh)
+        outs = []
+        start = 0
+        for wi, (window, heads) in enumerate(_CRPE_WINDOWS):
+            ch = heads * dh
+            sl = vi[..., start * dh:start * dh + ch]
+            pad = window // 2
+            outs.append(Conv2d(ch, window, 1, pad, groups=ch, use_bias=True,
+                               dtype=self.dtype, name=f"conv{wi}")(sl))
+            start += heads
+        ve = jnp.concatenate(outs, axis=-1)
+        ve = ve.reshape(n, gh * gw, h, dh).transpose(0, 2, 1, 3)
+        out = q_img * ve
+        if has_cls:
+            zero = jnp.zeros((n, h, 1, dh), out.dtype)
+            out = jnp.concatenate([zero, out], axis=2)
+        return out
 
 
 class FactorAttn(fnn.Module):
-    """Factorized attention: softmax(k)^T v then q @ that (coat.py
-    FactorAtt_ConvRelPosEnc)."""
+    """Factorized attention: q @ (softmax(k)^T v) * scale + crpe
+    (coat.py FactorAtt_ConvRelPosEnc)."""
 
     num_heads: int
     dtype: Any = None
@@ -59,14 +79,29 @@ class FactorAttn(fnn.Module):
         qkv = qkv.reshape(n, l, 3, h, dh).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         ksm = jax.nn.softmax(k.astype(jnp.float32), axis=2)
-        factor = jnp.einsum("nhld,nhle->nhde", ksm,
-                            v.astype(jnp.float32))  # [n,h,dh,dh]
+        factor = jnp.einsum("nhld,nhle->nhde", ksm, v.astype(jnp.float32))
         qf = jnp.einsum("nhld,nhde->nhle", q.astype(jnp.float32), factor)
         crpe = ConvRelPosEnc(h, dtype=self.dtype, name="crpe")(q, v, hw)
         y = (qf * (dh ** -0.5) + crpe.astype(jnp.float32)).astype(
             self.dtype or x.dtype)
         y = y.transpose(0, 2, 1, 3).reshape(n, l, d)
         return fnn.Dense(d, dtype=self.dtype, name="proj")(y)
+
+
+def _cpe(x, hw, dtype, name):
+    """Conv position encoding: depthwise 3x3 residual on the image tokens,
+    cls token passes through (coat.py ConvPosEnc)."""
+    n, l, d = x.shape
+    gh, gw = hw
+    has_cls = l == gh * gw + 1
+    img = x[:, 1:] if has_cls else x
+    xi = img.reshape(n, gh, gw, d)
+    pe = Conv2d(d, 3, 1, 1, groups=d, use_bias=True, dtype=dtype,
+                name=name)(xi)
+    img = (xi + pe).reshape(n, gh * gw, d)
+    if has_cls:
+        return jnp.concatenate([x[:, :1], img], axis=1)
+    return img
 
 
 class CoatSerialBlock(fnn.Module):
@@ -78,14 +113,7 @@ class CoatSerialBlock(fnn.Module):
     @fnn.compact
     def __call__(self, x, hw, training: bool = False):
         d = x.shape[-1]
-        # conv position encoding (CPE): depthwise 3x3 residual
-        gh, gw = hw
-        n = x.shape[0]
-        xi = x.reshape(n, gh, gw, d)
-        cpe = Conv2d(d, 3, 1, 1, groups=d, use_bias=True, dtype=self.dtype,
-                     name="cpe")(xi)
-        x = (xi + cpe).reshape(n, gh * gw, d)
-
+        x = _cpe(x, hw, self.dtype, "cpe")
         y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = FactorAttn(self.num_heads, dtype=self.dtype,
                        name="factoratt_crpe")(y, hw, training)
@@ -100,9 +128,59 @@ class CoatSerialBlock(fnn.Module):
         return x + y
 
 
-class CoatLite(fnn.Module):
+def _interpolate_tokens(x, hw, out_hw):
+    """Bilinear resize of the image tokens, cls passthrough
+    (ParallelBlock.interpolate, coat.py:274-291)."""
+    n, l, d = x.shape
+    gh, gw = hw
+    cls, img = x[:, :1], x[:, 1:]
+    img = img.reshape(n, gh, gw, d)
+    img = jax.image.resize(img, (n, out_hw[0], out_hw[1], d), "bilinear")
+    img = img.reshape(n, out_hw[0] * out_hw[1], d)
+    return jnp.concatenate([cls, img], axis=1)
+
+
+class CoatParallelBlock(fnn.Module):
+    """Co-scale block over stages 2-4: per-scale factor attention, bilinear
+    cross-scale exchange, shared MLP (coat.py:231-326)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Any = None
+
+    @fnn.compact
+    def __call__(self, x2, x3, x4, sizes, training: bool = False):
+        s2, s3, s4 = sizes
+        d = x2.shape[-1]
+        cur = []
+        for i, (x, s) in enumerate(zip((x2, x3, x4), sizes)):
+            y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                              name=f"norm1{i + 2}")(x)
+            cur.append(FactorAttn(self.num_heads, dtype=self.dtype,
+                                  name=f"factoratt_crpe{i + 2}")(
+                y, s, training))
+        c2 = cur[0] + _interpolate_tokens(cur[1], s3, s2) + \
+            _interpolate_tokens(cur[2], s4, s2)
+        c3 = cur[1] + _interpolate_tokens(cur[2], s4, s3) + \
+            _interpolate_tokens(cur[0], s2, s3)
+        c4 = cur[2] + _interpolate_tokens(cur[1], s3, s4) + \
+            _interpolate_tokens(cur[0], s2, s4)
+        x2, x3, x4 = x2 + c2, x3 + c3, x4 + c4
+
+        # shared-weight MLP across scales (coat.py:260-264)
+        mlp = Mlp(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")
+        outs = []
+        for i, x in enumerate((x2, x3, x4)):
+            y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                              name=f"norm2{i + 2}")(x)
+            outs.append(x + mlp(y, training))
+        return tuple(outs)
+
+
+class CoaT(fnn.Module):
     embed_dims: Sequence[int] = (64, 128, 256, 320)
-    depths: Sequence[int] = (2, 2, 2, 2)
+    serial_depths: Sequence[int] = (2, 2, 2, 2)
+    parallel_depth: int = 0
     num_heads: int = 8
     mlp_ratios: Sequence[float] = (8, 8, 4, 4)
     num_classes: int = 1000
@@ -117,8 +195,10 @@ class CoatLite(fnn.Module):
     def __call__(self, x, training: bool = False):
         n = x.shape[0]
         feats = []
+        stage_tokens = []
+        stage_sizes = []
         for si, (dim, depth, mr) in enumerate(zip(
-                self.embed_dims, self.depths, self.mlp_ratios)):
+                self.embed_dims, self.serial_depths, self.mlp_ratios)):
             ps = 4 if si == 0 else 2
             x = Conv2d(dim, ps, ps, 0, use_bias=True, dtype=self.dtype,
                        kernel_init=fnn.initializers.lecun_normal(),
@@ -126,19 +206,50 @@ class CoatLite(fnn.Module):
             x = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                               name=f"embed_norm{si + 1}")(x)
             gh, gw = x.shape[1], x.shape[2]
-            tokens = x.reshape(n, gh * gw, dim)
+            cls = self.param(f"cls_token{si + 1}",
+                             fnn.initializers.normal(0.02), (1, 1, dim),
+                             jnp.float32)
+            tokens = jnp.concatenate(
+                [jnp.broadcast_to(cls, (n, 1, dim)).astype(x.dtype),
+                 x.reshape(n, gh * gw, dim)], axis=1)
             for bi in range(depth):
                 tokens = CoatSerialBlock(
                     self.num_heads, mr, dtype=self.dtype,
                     name=f"serial_blocks{si + 1}_{bi}")(tokens, (gh, gw),
                                                         training)
-            x = tokens.reshape(n, gh, gw, dim)
+            stage_tokens.append(tokens)
+            stage_sizes.append((gh, gw))
+            x = tokens[:, 1:].reshape(n, gh, gw, dim)
             feats.append(x)
-        if self.features_only:
+        if self.features_only and self.parallel_depth == 0:
             return feats
-        out = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(
-            x.reshape(n, -1, self.embed_dims[-1]))
-        out = jnp.mean(out, axis=1)
+
+        if self.parallel_depth > 0:
+            t2, t3, t4 = stage_tokens[1], stage_tokens[2], stage_tokens[3]
+            for pi in range(self.parallel_depth):
+                t2, t3, t4 = CoatParallelBlock(
+                    self.num_heads, self.mlp_ratios[1], dtype=self.dtype,
+                    name=f"parallel_blocks_{pi}")(
+                    t2, t3, t4, stage_sizes[1:], training)
+            if self.features_only:
+                return [feats[0]] + [
+                    t[:, 1:].reshape(n, s[0], s[1], t.shape[-1])
+                    for t, s in zip((t2, t3, t4), stage_sizes[1:])]
+            # aggregate head over the three cls tokens (coat.py:573-581)
+            cls_all = []
+            for i, t in enumerate((t2, t3, t4)):
+                y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                  name=f"norm{i + 2}")(t)
+                cls_all.append(y[:, :1])
+            merged = jnp.concatenate(cls_all, axis=1)  # [n, 3, d]
+            agg = fnn.Dense(1, use_bias=True, dtype=self.dtype,
+                            name="aggregate")(merged.transpose(0, 2, 1))
+            out = agg[..., 0]
+        else:
+            out = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(
+                stage_tokens[-1])[:, 0]
+        if self.drop_rate and training:
+            out = fnn.Dropout(self.drop_rate, deterministic=False)(out)
         if self.num_classes > 0:
             out = fnn.Dense(self.num_classes, dtype=self.dtype,
                             name="head")(out)
@@ -147,19 +258,29 @@ class CoatLite(fnn.Module):
 
 def _coat(model_name, pretrained=False, **kwargs):
     kwargs.pop("in_chans", None)
-    return build_model_with_cfg(CoatLite, model_name, default_cfgs[model_name],
+    return build_model_with_cfg(CoaT, model_name, default_cfgs[model_name],
                                 pretrained=pretrained, **kwargs)
 
 
-@register_model
-def coat_lite_tiny(pretrained=False, **kwargs):
-    return _coat("coat_lite_tiny", pretrained,
-                 embed_dims=(64, 128, 256, 320), depths=(2, 2, 2, 2),
-                 **kwargs)
+# reference coat.py:617-659
+COAT_VARIANTS = {
+    "coat_tiny": dict(embed_dims=(152, 152, 152, 152),
+                      serial_depths=(2, 2, 2, 2), parallel_depth=6,
+                      mlp_ratios=(4, 4, 4, 4)),
+    "coat_mini": dict(embed_dims=(152, 216, 216, 216),
+                      serial_depths=(2, 2, 2, 2), parallel_depth=6,
+                      mlp_ratios=(4, 4, 4, 4)),
+    "coat_lite_tiny": dict(embed_dims=(64, 128, 256, 320),
+                           serial_depths=(2, 2, 2, 2)),
+    "coat_lite_mini": dict(embed_dims=(64, 128, 320, 512),
+                           serial_depths=(2, 2, 2, 2)),
+    "coat_lite_small": dict(embed_dims=(64, 128, 320, 512),
+                            serial_depths=(3, 4, 6, 3)),
+}
 
+default_cfgs = {
+    name: default_cfg(crop_pct=0.9, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
+                      first_conv="patch_embed1.proj", classifier="head")
+    for name in COAT_VARIANTS}
 
-@register_model
-def coat_lite_mini(pretrained=False, **kwargs):
-    return _coat("coat_lite_mini", pretrained,
-                 embed_dims=(64, 128, 320, 512), depths=(2, 2, 2, 2),
-                 **kwargs)
+register_variant_table(__name__, _coat, COAT_VARIANTS)

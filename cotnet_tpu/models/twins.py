@@ -10,15 +10,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
-from cotnet_tpu.models.helpers import build_model_with_cfg, default_cfg
-from cotnet_tpu.models.registry import register_model
+from cotnet_tpu.models.helpers import (
+    build_model_with_cfg, default_cfg, register_variant_table)
 from cotnet_tpu.models.vision_transformer import Mlp
 from cotnet_tpu.nn import Conv2d, DropPath
 
-default_cfgs = {
-    "twins_svt_small": default_cfg(first_conv="patch_embeds.0.proj",
-                                   classifier="head"),
-}
+default_cfgs = {}  # populated next to the variant table below
 
 
 class LocallyGroupedAttn(fnn.Module):
@@ -119,6 +116,8 @@ class Twins(fnn.Module):
     patch_sizes: Sequence[int] = (4, 2, 2, 2)
     wss: Sequence[int] = (7, 7, 7, 7)
     mlp_ratios: Sequence[float] = (4, 4, 4, 4)
+    block_style: str = "svt"  # 'svt' alternates local/global; 'pcpvt' is
+    # global sub-sampled attention in every block (PVT + PEG)
     num_classes: int = 1000
     in_chans: int = 3
     drop_rate: float = 0.0
@@ -143,7 +142,8 @@ class Twins(fnn.Module):
                               name=f"embed_norm{si}")(x)
             for bi in range(depth):
                 dpr = self.drop_path_rate * idx / max(total - 1, 1)
-                x = TwinsBlock(heads, local=(bi % 2 == 0), ws=ws, sr_ratio=sr,
+                local = self.block_style == "svt" and bi % 2 == 0
+                x = TwinsBlock(heads, local=local, ws=ws, sr_ratio=sr,
                                mlp_ratio=mr, drop_path_rate=dpr,
                                dtype=self.dtype,
                                name=f"blocks_{si}_{bi}")(x, training)
@@ -165,10 +165,34 @@ class Twins(fnn.Module):
         return x
 
 
-@register_model
-def twins_svt_small(pretrained=False, **kwargs):
+def _twins(model_name, pretrained=False, **kwargs):
     kwargs.pop("in_chans", None)
-    return build_model_with_cfg(
-        Twins, "twins_svt_small", default_cfgs["twins_svt_small"],
-        pretrained=pretrained, embed_dims=(64, 128, 256, 512),
-        num_heads=(2, 4, 8, 16), depths=(2, 2, 10, 4), **kwargs)
+    return build_model_with_cfg(Twins, model_name, default_cfgs[model_name],
+                                pretrained=pretrained, **kwargs)
+
+
+# reference twins.py:376-422
+def _pcpvt(depths):
+    return dict(embed_dims=(64, 128, 320, 512), num_heads=(1, 2, 5, 8),
+                mlp_ratios=(8, 8, 4, 4), depths=depths,
+                sr_ratios=(8, 4, 2, 1), block_style="pcpvt")
+
+
+TWINS_VARIANTS = {
+    "twins_pcpvt_small": _pcpvt((3, 4, 6, 3)),
+    "twins_pcpvt_base": _pcpvt((3, 4, 18, 3)),
+    "twins_pcpvt_large": _pcpvt((3, 8, 27, 3)),
+    "twins_svt_small": dict(embed_dims=(64, 128, 256, 512),
+                            num_heads=(2, 4, 8, 16), depths=(2, 2, 10, 4)),
+    "twins_svt_base": dict(embed_dims=(96, 192, 384, 768),
+                           num_heads=(3, 6, 12, 24), depths=(2, 2, 18, 2)),
+    "twins_svt_large": dict(embed_dims=(128, 256, 512, 1024),
+                            num_heads=(4, 8, 16, 32), depths=(2, 2, 18, 2)),
+}
+
+default_cfgs = {
+    name: default_cfg(crop_pct=0.9, first_conv="patch_embeds.0.proj",
+                      classifier="head")
+    for name in TWINS_VARIANTS}
+
+register_variant_table(__name__, _twins, TWINS_VARIANTS)
