@@ -39,7 +39,7 @@ POLICY_V0: List[List[Tuple[str, float, int]]] = [
     [("Posterize", 0.4, 6), ("AutoContrast", 0.4, 7)],
     [("Solarize", 0.6, 8), ("Color", 0.6, 9)],
     [("Solarize", 0.2, 4), ("Rotate", 0.8, 9)],
-    [("Rotate", 1.0, 7), ("TranslateY", 0.8, 9)],
+    [("Rotate", 1.0, 7), ("TranslateYRel", 0.8, 9)],
     [("ShearX", 0.0, 0), ("Solarize", 0.8, 4)],
     [("ShearY", 0.8, 0), ("Color", 0.6, 4)],
     [("Color", 1.0, 0), ("Rotate", 0.6, 2)],
@@ -53,16 +53,16 @@ POLICY_V0: List[List[Tuple[str, float, int]]] = [
 
 # AutoAugment 'original' (paper) ImageNet policy
 POLICY_ORIGINAL: List[List[Tuple[str, float, int]]] = [
-    [("Posterize", 0.4, 8), ("Rotate", 0.6, 9)],
+    [("PosterizeOriginal", 0.4, 8), ("Rotate", 0.6, 9)],
     [("Solarize", 0.6, 5), ("AutoContrast", 0.6, 5)],
     [("Equalize", 0.8, 8), ("Equalize", 0.6, 3)],
-    [("Posterize", 0.6, 7), ("Posterize", 0.6, 6)],
+    [("PosterizeOriginal", 0.6, 7), ("PosterizeOriginal", 0.6, 6)],
     [("Equalize", 0.4, 7), ("Solarize", 0.2, 4)],
     [("Equalize", 0.4, 4), ("Rotate", 0.8, 8)],
     [("Solarize", 0.6, 3), ("Equalize", 0.6, 7)],
-    [("Posterize", 0.8, 5), ("Equalize", 1.0, 2)],
+    [("PosterizeOriginal", 0.8, 5), ("Equalize", 1.0, 2)],
     [("Rotate", 0.2, 3), ("Solarize", 0.6, 8)],
-    [("Equalize", 0.6, 8), ("Posterize", 0.4, 6)],
+    [("Equalize", 0.6, 8), ("PosterizeOriginal", 0.4, 6)],
     [("Rotate", 0.8, 8), ("Color", 0.4, 0)],
     [("Rotate", 0.4, 9), ("Equalize", 0.6, 2)],
     [("Equalize", 0.0, 7), ("Equalize", 0.8, 8)],
@@ -80,14 +80,29 @@ POLICY_ORIGINAL: List[List[Tuple[str, float, int]]] = [
     [("Equalize", 0.8, 8), ("Equalize", 0.6, 3)],
 ]
 
-_POLICIES = {"v0": POLICY_V0, "original": POLICY_ORIGINAL}
+
+def _substitute(policy, frm, to):
+    return [[(to if name == frm else name, p, m) for name, p, m in sub]
+            for sub in policy]
+
+
+# 'r' variants: the research posterize curve (bits discarded increase with
+# magnitude) — reference auto_augment.py:381-412 (v0r) and :448-478
+# (originalr)
+POLICY_V0R = _substitute(POLICY_V0, "Posterize", "PosterizeIncreasing")
+POLICY_ORIGINALR = _substitute(POLICY_ORIGINAL, "PosterizeOriginal",
+                               "PosterizeIncreasing")
+
+_POLICIES = {"v0": POLICY_V0, "v0r": POLICY_V0R,
+             "original": POLICY_ORIGINAL, "originalr": POLICY_ORIGINALR}
 
 
 class AutoAugment:
     """Callable (rng, float batch NHWC in 0..255) -> augmented batch."""
 
-    def __init__(self, policy: str = "v0"):
+    def __init__(self, policy: str = "v0", magnitude_std: float = 0.0):
         table = _POLICIES[policy]
+        self.magnitude_std = float(magnitude_std)
         self.n_sub = len(table)
         self.op_idx = jnp.asarray(
             [[_OP_IDX[e[0]] for e in sub] for sub in table], jnp.int32)
@@ -106,6 +121,11 @@ class AutoAugment:
             prob = self.prob[sub, slot]
             mag = self.mag[sub, slot]
             sign = jnp.where(jax.random.bernoulli(k_sign), 1.0, -1.0)
+            if self.magnitude_std > 0:
+                k_ops, k_mag = jax.random.split(k_ops)
+                mag = jnp.clip(
+                    mag + self.magnitude_std * jax.random.normal(k_mag),
+                    0.0, 10.0)
             out = _apply_op(op, img, mag, sign, k_cut)
             img = jnp.where(jax.random.uniform(k_p) < prob, out, img)
         return img
@@ -167,10 +187,15 @@ class AugMix:
 
 
 def auto_augment_transform(config_str: str):
-    """'v0' / 'original' / 'v0-mstd0.5' -> AutoAugment (parser parity with
-    auto_augment.py's auto_augment_transform)."""
+    """'v0' / 'v0r' / 'original' / 'originalr' / '<name>-mstd0.5' ->
+    AutoAugment (parser parity with reference auto_augment.py:495-530)."""
     parts = config_str.split("-")
-    return AutoAugment(policy=parts[0])
+    mstd = 0.0
+    for c in parts[1:]:
+        cs = re.split(r"(\d.*)", c)
+        if len(cs) >= 2 and cs[0] == "mstd":
+            mstd = float(cs[1])
+    return AutoAugment(policy=parts[0], magnitude_std=mstd)
 
 
 def augment_and_mix_transform(config_str: str):

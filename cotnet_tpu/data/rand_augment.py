@@ -42,7 +42,14 @@ OP_NAMES = (
     "AutoContrast", "Equalize", "Invert", "Rotate", "Posterize", "Solarize",
     "SolarizeAdd", "Color", "Contrast", "Brightness", "Sharpness", "ShearX",
     "ShearY", "TranslateX", "TranslateY", "Cutout",
+    # ---- variant magnitude curves beyond this point (AutoAugment policies
+    # + increasing-severity RandAugment; reference auto_augment.py:192-306).
+    # RandAugment samples indices below len=16 only.
+    "PosterizeIncreasing", "PosterizeOriginal", "SolarizeIncreasing",
+    "ColorIncreasing", "ContrastIncreasing", "BrightnessIncreasing",
+    "SharpnessIncreasing", "TranslateXRel", "TranslateYRel",
 )
+N_BASE_OPS = 16
 
 # _RAND_CHOICE_WEIGHTS_0 (rand_augment.py:246-263)
 CHOICE_WEIGHTS_0 = (0.025, 0.005, 0.0, 0.2, 0.0, 0.005, 0.005, 0.025, 0.005,
@@ -250,6 +257,18 @@ def _apply_op(op_idx, img, level, sign, rng):
         lambda: translate_x(img, sign * lvl * TRANSLATE_CONST),
         lambda: translate_y(img, sign * lvl * TRANSLATE_CONST),
         lambda: cutout(img, jnp.floor(lvl * CUTOUT_CONST), rng),
+        # variant curves (reference auto_augment.py:192-260):
+        # posterize increasing: more bits DISCARDED with level
+        lambda: posterize(img, 4 - jnp.floor(lvl * 4).astype(jnp.int32)),
+        # posterize original (paper): bits kept in 4..8
+        lambda: posterize(img, 4 + jnp.floor(lvl * 4).astype(jnp.int32)),
+        lambda: solarize(img, 256.0 - jnp.floor(lvl * 256)),
+        lambda: color(img, 1.0 + sign * lvl * 0.9),
+        lambda: contrast(img, 1.0 + sign * lvl * 0.9),
+        lambda: brightness(img, 1.0 + sign * lvl * 0.9),
+        lambda: sharpness(img, 1.0 + sign * lvl * 0.9),
+        lambda: translate_x(img, sign * lvl * 0.45 * img.shape[1]),
+        lambda: translate_y(img, sign * lvl * 0.45 * img.shape[0]),
     ]
     return jax.lax.switch(op_idx, [lambda _, b=b: b() for b in branches],
                           None)

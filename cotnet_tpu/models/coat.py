@@ -65,9 +65,12 @@ class ConvRelPosEnc(fnn.Module):
 
 class FactorAttn(fnn.Module):
     """Factorized attention: q @ (softmax(k)^T v) * scale + crpe
-    (coat.py FactorAtt_ConvRelPosEnc)."""
+    (coat.py FactorAtt_ConvRelPosEnc).  ``crpe`` is a ConvRelPosEnc instance
+    constructed at the CoaT level and SHARED by every block of a stage
+    (reference coat.py:370-373, :141)."""
 
     num_heads: int
+    crpe: Any = None
     dtype: Any = None
 
     @fnn.compact
@@ -81,41 +84,50 @@ class FactorAttn(fnn.Module):
         ksm = jax.nn.softmax(k.astype(jnp.float32), axis=2)
         factor = jnp.einsum("nhld,nhle->nhde", ksm, v.astype(jnp.float32))
         qf = jnp.einsum("nhld,nhde->nhle", q.astype(jnp.float32), factor)
-        crpe = ConvRelPosEnc(h, dtype=self.dtype, name="crpe")(q, v, hw)
+        crpe = self.crpe(q, v, hw)
         y = (qf * (dh ** -0.5) + crpe.astype(jnp.float32)).astype(
             self.dtype or x.dtype)
         y = y.transpose(0, 2, 1, 3).reshape(n, l, d)
         return fnn.Dense(d, dtype=self.dtype, name="proj")(y)
 
 
-def _cpe(x, hw, dtype, name):
+class ConvPosEnc(fnn.Module):
     """Conv position encoding: depthwise 3x3 residual on the image tokens,
-    cls token passes through (coat.py ConvPosEnc)."""
-    n, l, d = x.shape
-    gh, gw = hw
-    has_cls = l == gh * gw + 1
-    img = x[:, 1:] if has_cls else x
-    xi = img.reshape(n, gh, gw, d)
-    pe = Conv2d(d, 3, 1, 1, groups=d, use_bias=True, dtype=dtype,
-                name=name)(xi)
-    img = (xi + pe).reshape(n, gh * gw, d)
-    if has_cls:
-        return jnp.concatenate([x[:, :1], img], axis=1)
-    return img
+    cls token passes through (coat.py ConvPosEnc).  One instance per stage,
+    shared across that stage's blocks (reference coat.py:364-367)."""
+
+    dim: int
+    dtype: Any = None
+
+    @fnn.compact
+    def __call__(self, x, hw):
+        n, l, d = x.shape
+        gh, gw = hw
+        has_cls = l == gh * gw + 1
+        img = x[:, 1:] if has_cls else x
+        xi = img.reshape(n, gh, gw, d)
+        pe = Conv2d(d, 3, 1, 1, groups=d, use_bias=True, dtype=self.dtype,
+                    name="proj")(xi)
+        img = (xi + pe).reshape(n, gh * gw, d)
+        if has_cls:
+            return jnp.concatenate([x[:, :1], img], axis=1)
+        return img
 
 
 class CoatSerialBlock(fnn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.0
+    cpe: Any = None     # stage-shared ConvPosEnc
+    crpe: Any = None    # stage-shared ConvRelPosEnc
     dtype: Any = None
 
     @fnn.compact
     def __call__(self, x, hw, training: bool = False):
         d = x.shape[-1]
-        x = _cpe(x, hw, self.dtype, "cpe")
+        x = self.cpe(x, hw)
         y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        y = FactorAttn(self.num_heads, dtype=self.dtype,
+        y = FactorAttn(self.num_heads, crpe=self.crpe, dtype=self.dtype,
                        name="factoratt_crpe")(y, hw, training)
         if self.drop_path_rate > 0:
             y = DropPath(self.drop_path_rate, name="dp1")(y, training)
@@ -142,10 +154,12 @@ def _interpolate_tokens(x, hw, out_hw):
 
 class CoatParallelBlock(fnn.Module):
     """Co-scale block over stages 2-4: per-scale factor attention, bilinear
-    cross-scale exchange, shared MLP (coat.py:231-326)."""
+    cross-scale exchange, shared MLP (coat.py:231-326).  The crpes are the
+    same stage-shared instances the serial blocks use (coat.py:426)."""
 
     num_heads: int
     mlp_ratio: float = 4.0
+    crpes: Any = None   # (crpe2, crpe3, crpe4)
     dtype: Any = None
 
     @fnn.compact
@@ -156,7 +170,8 @@ class CoatParallelBlock(fnn.Module):
         for i, (x, s) in enumerate(zip((x2, x3, x4), sizes)):
             y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                               name=f"norm1{i + 2}")(x)
-            cur.append(FactorAttn(self.num_heads, dtype=self.dtype,
+            cur.append(FactorAttn(self.num_heads, crpe=self.crpes[i],
+                                  dtype=self.dtype,
                                   name=f"factoratt_crpe{i + 2}")(
                 y, s, training))
         c2 = cur[0] + _interpolate_tokens(cur[1], s3, s2) + \
@@ -197,6 +212,13 @@ class CoaT(fnn.Module):
         feats = []
         stage_tokens = []
         stage_sizes = []
+        # one cpe/crpe per stage, shared by all of that stage's blocks
+        # (reference coat.py:364-373)
+        cpes = [ConvPosEnc(dim, dtype=self.dtype, name=f"cpe{i + 1}")
+                for i, dim in enumerate(self.embed_dims)]
+        crpes = [ConvRelPosEnc(self.num_heads, dtype=self.dtype,
+                               name=f"crpe{i + 1}")
+                 for i in range(len(self.embed_dims))]
         for si, (dim, depth, mr) in enumerate(zip(
                 self.embed_dims, self.serial_depths, self.mlp_ratios)):
             ps = 4 if si == 0 else 2
@@ -214,7 +236,8 @@ class CoaT(fnn.Module):
                  x.reshape(n, gh * gw, dim)], axis=1)
             for bi in range(depth):
                 tokens = CoatSerialBlock(
-                    self.num_heads, mr, dtype=self.dtype,
+                    self.num_heads, mr, cpe=cpes[si], crpe=crpes[si],
+                    dtype=self.dtype,
                     name=f"serial_blocks{si + 1}_{bi}")(tokens, (gh, gw),
                                                         training)
             stage_tokens.append(tokens)
@@ -227,8 +250,14 @@ class CoaT(fnn.Module):
         if self.parallel_depth > 0:
             t2, t3, t4 = stage_tokens[1], stage_tokens[2], stage_tokens[3]
             for pi in range(self.parallel_depth):
+                # cpe2-4 re-applied before every parallel block
+                # (reference coat.py:549)
+                t2 = cpes[1](t2, stage_sizes[1])
+                t3 = cpes[2](t3, stage_sizes[2])
+                t4 = cpes[3](t4, stage_sizes[3])
                 t2, t3, t4 = CoatParallelBlock(
-                    self.num_heads, self.mlp_ratios[1], dtype=self.dtype,
+                    self.num_heads, self.mlp_ratios[1], crpes=tuple(crpes[1:]),
+                    dtype=self.dtype,
                     name=f"parallel_blocks_{pi}")(
                     t2, t3, t4, stage_sizes[1:], training)
             if self.features_only:

@@ -50,10 +50,11 @@ class GPSA(fnn.Module):
         n, l, d = x.shape
         h = self.num_heads
         dh = d // h
-        qk = fnn.Dense(2 * d, use_bias=True, dtype=self.dtype, name="qk")(x)
+        # qkv_bias=False (reference convit.py:69-70)
+        qk = fnn.Dense(2 * d, use_bias=False, dtype=self.dtype, name="qk")(x)
         qk = qk.reshape(n, l, 2, h, dh).transpose(2, 0, 3, 1, 4)
         q, k = qk[0], qk[1]
-        v = fnn.Dense(d, use_bias=True, dtype=self.dtype, name="v")(x)
+        v = fnn.Dense(d, use_bias=False, dtype=self.dtype, name="v")(x)
         v = v.reshape(n, l, h, dh).transpose(0, 2, 1, 3)
 
         patch_attn = jax.nn.softmax(
@@ -143,7 +144,7 @@ class ConViT(fnn.Module):
                     x = jnp.concatenate(
                         [jnp.broadcast_to(cls, (n, 1, self.embed_dim)
                                           ).astype(x.dtype), x], axis=1)
-                x = Block(self.num_heads, 4.0, True, self.drop_rate, 0.0,
+                x = Block(self.num_heads, 4.0, False, self.drop_rate, 0.0,
                           dpr, dtype=self.dtype,
                           name=f"blocks_{i}")(x, training)
         if self.features_only:

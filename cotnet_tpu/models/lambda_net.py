@@ -108,11 +108,16 @@ class LambdaBottleneck(fnn.Module):
         y = batch_norm(y, training, name="bn1", dtype=self.dtype,
                        axis_name=self.axis_name)
         y = act(y)
-        if self.stride > 1:
-            y = avg_pool2d(y, 3, 2, padding=1)
+        # reference lambdAnet.py:159-169: lambda layer runs at FULL
+        # resolution, then bn2 + act2, then the stride-2 AvgPool
         y = LambdaLayer(dim=width, dtype=self.dtype,
                         axis_name=self.axis_name,
                         name="conv2")(y, training=training)
+        y = batch_norm(y, training, name="bn2", dtype=self.dtype,
+                       axis_name=self.axis_name)
+        y = act(y)
+        if self.stride > 1:
+            y = avg_pool2d(y, 3, 2, padding=1)
 
         y = Conv2d(outplanes, 1, dtype=self.dtype, name="conv3")(y)
         bn3_scale = (fnn.initializers.zeros if self.zero_init_last_bn

@@ -156,6 +156,7 @@ class Levit(fnn.Module):
     in_chans: int = 3
     drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    distillation: bool = False  # reference levit.py:421 (entrypoints keep it off)
     dtype: Any = None
     axis_name: Optional[str] = None
     features_only: bool = False
@@ -188,9 +189,12 @@ class Levit(fnn.Module):
                 tokens = tokens + m
             feats.append(tokens.reshape(n, res, res, tokens.shape[-1]))
             if si < len(self.embed_dims) - 1:
+                # down_ops: heads = in_dim // key_dim, attn_ratio fixed 4
+                # (reference levit.py:442-445)
                 tokens = LevitSubsample(
-                    self.embed_dims[si + 1], self.key_dim, heads * 2,
-                    self.attn_ratio * 2, res, dtype=self.dtype,
+                    self.embed_dims[si + 1], self.key_dim,
+                    self.embed_dims[si] // self.key_dim,
+                    4.0, res, dtype=self.dtype,
                     axis_name=self.axis_name,
                     name=f"downsample_{si}")(tokens, training)
                 res = (res - 1) // 2 + 1
@@ -206,10 +210,12 @@ class Levit(fnn.Module):
         if self.num_classes > 0:
             logits = fnn.Dense(self.num_classes, dtype=self.dtype,
                                name="head")(out)
-            # distillation head (levit.py: head_dist); averaged at inference
-            dist = fnn.Dense(self.num_classes, dtype=self.dtype,
-                             name="head_dist")(out)
-            return (logits + dist) / 2
+            if self.distillation:
+                # distillation head (levit.py:494-496); averaged at inference
+                dist = fnn.Dense(self.num_classes, dtype=self.dtype,
+                                 name="head_dist")(out)
+                logits = (logits + dist) / 2
+            return logits
         return out
 
 
@@ -235,7 +241,7 @@ LEVIT_VARIANTS = {
 
 default_cfgs = {
     name: default_cfg(crop_pct=0.9, first_conv="patch_embed.0.c",
-                      classifier=("head.l", "head_dist.l"))
+                      classifier="head.l")
     for name in LEVIT_VARIANTS}
 
 register_variant_table(__name__, _levit, LEVIT_VARIANTS)

@@ -15,18 +15,21 @@ default_cfgs = {
 }
 
 
-def _rs(model_name, pretrained, layers, **kwargs):
+def _rs(model_name, pretrained, layers, stem_width=64, **kwargs):
     return build_model_with_cfg(
         ResNet, model_name, default_cfgs[model_name], pretrained=pretrained,
-        block=Bottleneck, layers=layers, stem_type="deep", stem_width=64,
-        replace_stem_pool=True,
+        block=Bottleneck, layers=layers, stem_type="deep",
+        stem_width=stem_width, replace_stem_pool=True,
         block_args=dict(attn_layer="se", attn_kwargs=dict(reduction=4)),
         **kwargs)
 
 
 @register_model
 def resnet_rs50(pretrained=False, **kwargs):
-    return _rs("resnet_rs50", pretrained, (3, 4, 6, 3), **kwargs)
+    # stem_width 32 for rs50, 64 for the deeper variants
+    # (reference resnet_rs.py:303-307 vs :310-328)
+    return _rs("resnet_rs50", pretrained, (3, 4, 6, 3), stem_width=32,
+               **kwargs)
 
 
 @register_model

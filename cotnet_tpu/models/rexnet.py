@@ -44,8 +44,10 @@ class LinearBottleneck(fnn.Module):
         y = batch_norm(y, training, name="bn_dw", dtype=self.dtype,
                        axis_name=self.axis_name)
         if self.use_se:
+            # SEWithNorm (reference rexnet.py:58-75): BN between fc1 and fc2
             y = SEModule(mid, reduction_channels=max(mid // self.se_reduction, 1),
-                         dtype=self.dtype, name="se")(y, training=training)
+                         norm=True, dtype=self.dtype, name="se")(y,
+                                                                 training=training)
         y = relu6(y)
         y = Conv2d(self.out_channels, 1, dtype=self.dtype, name="conv_pwl")(y)
         y = batch_norm(y, training, name="bn_pwl", dtype=self.dtype,

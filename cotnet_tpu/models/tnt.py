@@ -39,7 +39,8 @@ class TNTBlock(fnn.Module):
         c_in = pixel_tokens.shape[-1]
         y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                           name="norm_in")(pixel_tokens)
-        y = Attention(self.inner_heads, dtype=self.dtype,
+        # qkv_bias=False throughout TNT (reference tnt.py:47-56, :153)
+        y = Attention(self.inner_heads, qkv_bias=False, dtype=self.dtype,
                       name="attn_in")(y, training)
         pixel_tokens = pixel_tokens + y
         y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
@@ -62,7 +63,7 @@ class TNTBlock(fnn.Module):
         # outer transformer on patch tokens
         y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                           name="norm_out")(patch_tokens)
-        y = Attention(self.outer_heads, dtype=self.dtype,
+        y = Attention(self.outer_heads, qkv_bias=False, dtype=self.dtype,
                       name="attn_out")(y, training)
         if self.drop_path_rate > 0:
             y = DropPath(self.drop_path_rate, name="dp")(y, training)
@@ -112,10 +113,13 @@ class TNT(fnn.Module):
                                (1, p, self.inner_dim), jnp.float32)
         pixel_tokens = y + pixel_pos.astype(y.dtype)
 
-        # patch embed from pixel tokens
-        pt = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2_proj")(
+        # patch embed from pixel tokens: LN -> proj -> LN
+        # (reference tnt.py: norm1_proj, proj, norm2_proj)
+        pt = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1_proj")(
             pixel_tokens.reshape(n, num_patches, p * self.inner_dim))
         pt = fnn.Dense(self.embed_dim, dtype=self.dtype, name="proj_embed")(pt)
+        pt = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                           name="norm2_proj")(pt)
         cls = self.param("cls_token", fnn.initializers.normal(0.02),
                          (1, 1, self.embed_dim), jnp.float32)
         patch_tokens = jnp.concatenate(

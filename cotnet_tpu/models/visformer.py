@@ -130,7 +130,9 @@ class Visformer(fnn.Module):
         idx = 0
         feats = []
         for si in range(3):
-            x = Conv2d(dims[si], patch[si], patch[si], 0, use_bias=False,
+            # proj conv keeps its bias (reference visformer PatchEmbed uses a
+            # default torch Conv2d, bias=True, even with the BN that follows)
+            x = Conv2d(dims[si], patch[si], patch[si], 0, use_bias=True,
                        dtype=self.dtype, name=f"patch_embed{si + 1}")(x)
             x = batch_norm(x, training, name=f"embed_norm{si + 1}",
                            dtype=self.dtype, axis_name=self.axis_name)

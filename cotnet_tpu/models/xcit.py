@@ -136,7 +136,9 @@ class XCiT(fnn.Module):
         steps = {16: 4, 8: 3}[self.patch_size]
         for i in range(steps):
             dim_i = dims[i + (4 - steps)]
-            x = Conv2d(dim_i, 3, 2, 1, use_bias=True, dtype=self.dtype,
+            # bias-free: each conv is followed by BN (reference xcit.py
+            # conv3x3 uses torch Conv2d(bias=False) inside Sequential+BN)
+            x = Conv2d(dim_i, 3, 2, 1, use_bias=False, dtype=self.dtype,
                        kernel_init=fnn.initializers.lecun_normal(),
                        name=f"patch_conv{i}")(x)
             x = batch_norm(x, training, name=f"patch_bn{i}", dtype=self.dtype,

@@ -26,6 +26,7 @@ class SEModule(fnn.Module):
     reduction_channels: Optional[int] = None
     act: str = "relu"
     gate: str = "sigmoid"
+    norm: bool = False   # SEWithNorm (reference rexnet.py): BN after fc1
     dtype: Any = None
 
     @fnn.compact
@@ -34,6 +35,9 @@ class SEModule(fnn.Module):
                                             self.min_channels)
         s = jnp.mean(x, axis=(1, 2))
         s = fnn.Dense(rc, dtype=self.dtype, name="fc1")(s)
+        if self.norm:
+            s = fnn.BatchNorm(use_running_average=not training, momentum=0.9,
+                              epsilon=1e-5, dtype=self.dtype, name="bn")(s)
         s = get_act_fn(self.act)(s)
         s = fnn.Dense(self.channels, dtype=self.dtype, name="fc2")(s)
         s = get_act_fn(self.gate)(s)

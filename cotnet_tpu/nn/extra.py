@@ -281,12 +281,16 @@ class SplitBatchNorm(fnn.Module):
 
 class CondConv2d(fnn.Module):
     """Conditionally-parameterized conv (reference cond_conv2d.py): per-sample
-    sigmoid-routed mixture of ``num_experts`` kernels."""
+    sigmoid-routed mixture of ``num_experts`` kernels.
+
+    ``routing`` may be passed in so several convs share one routing vector,
+    as CondConvResidual does (reference efficientnet_blocks.py:303-326: one
+    ``routing_fn`` on the block input feeds conv_pw/conv_dw/conv_pwl)."""
 
     out_channels: int
     kernel_size: int = 3
     stride: int = 1
-    padding: Optional[int] = None
+    padding: Any = None        # int, None (torch symmetric), or "same" (TF)
     dilation: int = 1
     groups: int = 1
     num_experts: int = 4
@@ -294,26 +298,31 @@ class CondConv2d(fnn.Module):
     dtype: Any = None
 
     @fnn.compact
-    def __call__(self, x):
+    def __call__(self, x, routing=None):
         n, h, w, c = x.shape
         k = to_2tuple(self.kernel_size)
-        pad = self.padding
-        if pad is None:
-            pad = get_padding(self.kernel_size, self.stride, self.dilation)
+        if isinstance(self.padding, str):
+            pad = self.padding.upper()
+        else:
+            p = (self.padding if self.padding is not None
+                 else get_padding(self.kernel_size, self.stride, self.dilation))
+            pad = ((p, p), (p, p))
         kernels = self.param(
             "experts", fnn.initializers.variance_scaling(2.0, "fan_out", "normal"),
             (self.num_experts, k[0], k[1], c // self.groups, self.out_channels),
             jnp.float32)
-        route = fnn.Dense(self.num_experts, name="routing")(
-            jnp.mean(x, axis=(1, 2)))
-        route = jax.nn.sigmoid(route)  # [N, E]
+        if routing is None:
+            routing = jax.nn.sigmoid(
+                fnn.Dense(self.num_experts, name="routing")(
+                    jnp.mean(x, axis=(1, 2))))
+        route = routing  # [N, E]
         per_sample_kernel = jnp.einsum("ne,ehwio->nhwio", route,
                                        kernels.astype(x.dtype))
 
         def conv_one(xi, ki):
             return jax.lax.conv_general_dilated(
                 xi[None], ki, (self.stride, self.stride),
-                ((pad, pad), (pad, pad)), rhs_dilation=(self.dilation,) * 2,
+                pad, rhs_dilation=(self.dilation,) * 2,
                 feature_group_count=self.groups,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
 
@@ -325,6 +334,14 @@ class CondConv2d(fnn.Module):
         return y
 
 
+def _split_channels(num_chan: int, num_groups: int):
+    """Reference mixed_conv2d.py:14-17 — equal splits, FIRST group takes the
+    remainder (this choice is load-bearing for checkpoint parity)."""
+    split = [num_chan // num_groups] * num_groups
+    split[0] += num_chan - sum(split)
+    return split
+
+
 class MixedConv2d(fnn.Module):
     """Mixed depthwise/grouped conv (reference mixed_conv2d.py): channel
     groups with different kernel sizes, concatenated."""
@@ -334,22 +351,22 @@ class MixedConv2d(fnn.Module):
     stride: int = 1
     dilation: int = 1
     depthwise: bool = False
+    pad_type: str = ""          # "" = torch symmetric, "same" = TF-SAME
     dtype: Any = None
 
     @fnn.compact
     def __call__(self, x):
         c = x.shape[-1]
         num = len(self.kernel_sizes)
-        in_splits = [c // num + (1 if i < c % num else 0) for i in range(num)]
-        out_splits = [self.out_channels // num +
-                      (1 if i < self.out_channels % num else 0)
-                      for i in range(num)]
+        in_splits = _split_channels(c, num)
+        out_splits = _split_channels(self.out_channels, num)
         xs = jnp.split(x, np.cumsum(in_splits)[:-1].tolist(), axis=-1)
         outs = []
         for i, (k, xi, oc) in enumerate(zip(self.kernel_sizes, xs, out_splits)):
-            groups = xi.shape[-1] if self.depthwise else 1
-            outs.append(Conv2d(oc, k, self.stride,
-                               get_padding(k, self.stride, self.dilation),
+            groups = oc if self.depthwise else 1
+            pad = ("same" if self.pad_type == "same"
+                   else get_padding(k, self.stride, self.dilation))
+            outs.append(Conv2d(oc, k, self.stride, pad,
                                self.dilation, groups, dtype=self.dtype,
                                name=f"conv_{i}")(xi))
         return jnp.concatenate(outs, axis=-1)

@@ -190,15 +190,15 @@ def local_aggregate(
         impl == "auto" and stride == (1, 1) and jax.default_backend() == "tpu"
     )
     if use_pallas and stride == (1, 1):
-        from cotnet_tpu.ops.local_agg_pallas import agg_core_pallas, fits_vmem
+        from cotnet_tpu.ops.local_agg_pallas import agg_core_pallas, pallas_plan
 
         if pad_mode == "zeros":
             # zero padding fuses into the kernel (VMEM memset+copy)
-            if fits_vmem(x.shape, w.shape, x.dtype.itemsize, padding):
+            if pallas_plan(x.shape, w.shape, x.dtype.itemsize, padding):
                 return agg_core_pallas(x, w, kernel_size, dilation, padding)
         else:
             xp = _pad_input(x, padding, dilation, pad_mode)
-            if fits_vmem(xp.shape, w.shape, xp.dtype.itemsize):
+            if pallas_plan(xp.shape, w.shape, xp.dtype.itemsize):
                 return agg_core_pallas(xp, w, kernel_size, dilation, (0, 0))
             return _agg_core_xla(xp, w, kernel_size, stride, dilation)
     xp = _pad_input(x, padding, dilation, pad_mode)

@@ -32,6 +32,16 @@ TPU-native replacements for the reference's CUDA kernels
   weight-grad writes straight into the same flat k-major layout, so the
   backward pass needs no relayout either.
 
+- **Spatial strip tiling with halo for large maps.**  Whole-image blocks cap
+  the kernel at stage-2 sizes (56x56x64 needs ~30 MB of scoped VMEM).  For
+  those shapes the grid adds a strip dimension: outputs/weights are blocked
+  into ``S``-row strips while the (small) input image stays VMEM-resident as
+  a zero-padded scratch filled once per image, so each tap is a dynamic
+  H-offset slice — the K//2 halo costs no extra HBM traffic (SURVEY §7's
+  halo prescription).  The dx kernel uses the gather (transpose) form on
+  zero-padded resident dy/w scratches so strips write disjoint rows and no
+  cross-strip accumulation is needed.
+
 Only stride=1 has kernels (every model in the family aggregates at stride 1;
 ``local_agg.local_aggregate`` routes strided cases to the XLA formulation).
 """
@@ -46,6 +56,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _VMEM_BUDGET_BYTES = 10 * 1024 * 1024  # leave headroom under ~16 MB/core
+# the strip kernels' estimate has fewer unknowns (temps are strip-sized), so
+# they may book closer to the 16 MB scoped limit
+_STRIP_BUDGET_BYTES = 12 * 1024 * 1024
 
 
 def _use_interpret() -> bool:
@@ -66,15 +79,22 @@ def _tiled_bytes(shape, itemsize) -> int:
 
 def _working_set(x_shape, w_shape, itemsize, padding, m) -> int:
     """VMEM bytes for an m-image block: I/O blocks x double buffering + the
-    padded scratch and fp32 accumulators."""
+    padded scratch and fp32 accumulators.
+
+    The live fp32 temp count scales with the tap count: Mosaic keeps several
+    of the SSA chain's tap temporaries in flight, and the K=7 SAN shape
+    (32x32x64, k2=49) measured 17.03 MB scoped VMEM where a flat 4-temp
+    model predicted ~10 MB.  ``3 + k2 // 4`` reproduces both the measured
+    K=3 fits (cotnet stage 2-4 stay on Pallas) and the K=7 overflow."""
     n, hi, wi, c = x_shape
     _, ho, wo, heads, k2, cw = w_shape
     hp, wp = hi + 2 * padding[0], wi + 2 * padding[1]
     bufs = (_tiled_bytes((m, hi, wi, c), itemsize)
             + _tiled_bytes((m, ho, wo, heads * k2 * cw), itemsize)
             + _tiled_bytes((m, ho, wo, heads * c), itemsize))
+    live_temps = 3 + k2 // 4
     scratch = (_tiled_bytes((m, hp, wp, c), itemsize)      # padded copy
-               + 4 * _tiled_bytes((m, hp, wp, c), 4))      # live fp32 temps
+               + live_temps * _tiled_bytes((m, hp, wp, c), 4))
     return 2 * bufs + scratch
 
 
@@ -106,6 +126,63 @@ def _pick_batch_block(x_shape, w_shape, itemsize, padding) -> int:
             break
         m = cand
     return m
+
+
+def _strip_working_set(x_shape, w_shape, itemsize, padding, s) -> dict:
+    """VMEM bytes per strip-kernel flavor for strip size ``s``."""
+    n, hi, wi, c = x_shape
+    _, ho, wo, heads, k2, cw = w_shape
+    hp, wp = hi + 2 * padding[0], wi + 2 * padding[1]
+    f = heads * k2 * cw
+    live = 3 + k2 // 4
+    # halo'd tensors ride as whole-image VMEM blocks (a sub-lane-width DMA
+    # from HBM is not Mosaic-expressible: lane slices must align to 128) and
+    # are copied once per image into zero-padded resident scratches
+    x_full = _tiled_bytes((1, hi, wi, c), itemsize)
+    w_strip = _tiled_bytes((1, s, wo, f), itemsize)
+    out_strip = _tiled_bytes((1, s, wo, heads * c), itemsize)
+    t_strip = _tiled_bytes((1, s, wo, c), 4)
+    fwd = (2 * (x_full + w_strip + out_strip)
+           + _tiled_bytes((1, hp, wp, c), itemsize) + live * t_strip)
+    # dx is NOT a strip kernel: its gather form needs full-res dy/w resident
+    # (measured 22.6 MB scoped at 56x56x64) — the bwd rule computes dx with
+    # the XLA transpose instead (fuses well; stage-1 dx was on XLA before
+    # strips existed too)
+    dw = (2 * (x_full + out_strip + w_strip)
+          + _tiled_bytes((1, hp, wp, c), itemsize) + live * t_strip)
+    return dict(fwd=fwd, dw=dw)
+
+
+def strip_plan(x_shape, w_shape, itemsize, padding=(0, 0)):
+    """Pick a strip size S for the halo-tiled kernels, or None.
+
+    Valid when the gather-form dx stays in range (2*pad >= dilated span,
+    true for all SAME-style geometries) and all three kernels' working sets
+    fit; prefers the largest strip (fewest grid steps)."""
+    n, hi, wi, c = x_shape
+    _, ho, wo, heads, k2, cw = w_shape
+    # geometry gates: dx gather form + strips must tile both ho and hi
+    if ho != hi or wo != wi:
+        return None
+    for s in (28, 16, 14, 8, 7, 4):
+        if ho % s or s >= ho:
+            continue
+        ws = _strip_working_set(x_shape, w_shape, itemsize, padding, s)
+        if max(ws.values()) <= _STRIP_BUDGET_BYTES:
+            return s
+    return None
+
+
+def pallas_plan(x_shape, w_shape, itemsize, padding=(0, 0)):
+    """('whole', m) | ('strip', S) | None — which kernel flavor handles the
+    shape within the VMEM budget."""
+    if fits_vmem(x_shape, w_shape, itemsize, padding):
+        return ("whole", _pick_batch_block(x_shape, w_shape, itemsize,
+                                           padding))
+    # strip kernels need ho==hi (then 2*pad == dilated span, which also
+    # makes the dx gather form's padded indices provably in range)
+    s = strip_plan(x_shape, w_shape, itemsize, padding)
+    return ("strip", s) if s else None
 
 
 def _tile_lanes(wk, g):
@@ -193,6 +270,58 @@ def _dw_kernel(x_ref, dy_ref, dw_ref, xp_ref, *, kh, kw, dh, dw, heads, g,
                 dw_ref[:, :, :, k * cw:(k + 1) * cw] = acc.astype(out_dtype)
 
 
+def _fwd_strip_kernel(x_ref, w_ref, out_ref, xp_ref, *, s, kh, kw, dh,
+                      dw, heads, g, cw, ho, wo, c, ph, pw, hi, wi):
+    """Strip-tiled forward: grid (N, Ho//S); the full padded input lives in a
+    VMEM scratch filled once per image (strip 0); every tap is a dynamic
+    H-offset slice of it (the halo is just the slice overlap)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _fill():
+        _fill_padded(x_ref, xp_ref, ph, pw, hi, wi)
+
+    out_dtype = out_ref.dtype
+    base = i * s
+    for head in range(heads):
+        acc = None
+        for ikh in range(kh):
+            for ikw in range(kw):
+                k = head * kh * kw + ikh * kw + ikw
+                xs = xp_ref[:, pl.ds(base + ikh * dh, s),
+                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
+                wk = w_ref[:, :, :, k * cw:(k + 1) * cw].astype(jnp.float32)
+                tap = xs * _tile_lanes(wk, g)
+                acc = tap if acc is None else acc + tap
+        out_ref[:, :, :, head * c:(head + 1) * c] = acc.astype(out_dtype)
+
+
+def _dw_strip_kernel(x_ref, dy_ref, dwf_ref, xp_ref, *, s, kh, kw, dh,
+                     dw, heads, g, cw, ho, wo, c, ph, pw, hi, wi):
+    """Strip-tiled weight-grad: resident padded input + strip dy blocks;
+    writes the flat k-major dw strip directly."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _fill():
+        _fill_padded(x_ref, xp_ref, ph, pw, hi, wi)
+
+    out_dtype = dwf_ref.dtype
+    base = i * s
+    for head in range(heads):
+        dys = dy_ref[:, :, :, head * c:(head + 1) * c].astype(jnp.float32)
+        for ikh in range(kh):
+            for ikw in range(kw):
+                k = head * kh * kw + ikh * kw + ikw
+                xs = xp_ref[:, pl.ds(base + ikh * dh, s),
+                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
+                t = xs * dys
+                acc = t[:, :, :, 0:cw]
+                for gi in range(1, g):
+                    acc = acc + t[:, :, :, gi * cw:(gi + 1) * cw]
+                dwf_ref[:, :, :, k * cw:(k + 1) * cw] = acc.astype(out_dtype)
+
+
 def _geometry(x_shape, w_shape, kernel_size, dilation, padding):
     n, hi, wi, c = x_shape
     _, ho, wo, heads, k2, cw = w_shape
@@ -237,7 +366,33 @@ def _agg_fwd_impl(x, w, kernel_size, dilation, padding):
     ho, wo, heads = geo["ho"], geo["wo"], geo["heads"]
     hp, wp = hi + 2 * geo["ph"], wi + 2 * geo["pw"]
     wf = _flat_weight(w)
-    m = _pick_batch_block(x.shape, w.shape, x.dtype.itemsize, padding)
+    plan = pallas_plan(x.shape, w.shape, x.dtype.itemsize, padding)
+    assert plan is not None, "caller must gate on pallas_plan"
+    if plan[0] == "strip":
+        s = plan[1]
+        return pl.pallas_call(
+            functools.partial(_fwd_strip_kernel, s=s, **geo),
+            grid=(n, ho // s),
+            in_specs=[
+                pl.BlockSpec((1, hi, wi, c), lambda b, i: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, s, wo, wf.shape[-1]),
+                             lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, s, wo, heads * c),
+                                   lambda b, i: (b, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, ho, wo, heads * c), x.dtype),
+            scratch_shapes=[pltpu.VMEM((1, hp, wp, c), x.dtype)],
+            interpret=_use_interpret(),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n * ho * wo * heads * geo["kh"] * geo["kw"] * c,
+                bytes_accessed=(x.size + wf.size + n * ho * wo * heads * c)
+                * x.dtype.itemsize,
+                transcendentals=0),
+        )(x, wf)
+    m = plan[1]
 
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, **geo),
@@ -266,8 +421,41 @@ def _agg_bwd_rule(kernel_size, dilation, padding, res, dy):
     n, hi, wi, c = x.shape
     ho, wo, heads = geo["ho"], geo["wo"], geo["heads"]
     hp, wp = hi + 2 * geo["ph"], wi + 2 * geo["pw"]
+    ph, pw_ = geo["ph"], geo["pw"]
     wf = _flat_weight(w)
-    m = _pick_batch_block(x.shape, w.shape, x.dtype.itemsize, padding)
+    plan = pallas_plan(x.shape, w.shape, x.dtype.itemsize, padding)
+    assert plan is not None
+    if plan[0] == "strip":
+        s = plan[1]
+        f = wf.shape[-1]
+        # dx via the XLA transpose of the reference formulation (the strip
+        # kernels only cover fwd/dw; see _strip_working_set note)
+        from cotnet_tpu.ops import local_agg as _la
+
+        def _xla_fwd(xx):
+            xxp = jnp.pad(xx, ((0, 0), (geo["ph"], geo["ph"]),
+                               (geo["pw"], geo["pw"]), (0, 0)))
+            return _la._agg_core_xla(xxp, w, kernel_size, (1, 1), dilation)
+
+        dx = jax.vjp(_xla_fwd, x)[1](dy)[0]
+        dwf = pl.pallas_call(
+            functools.partial(_dw_strip_kernel, s=s, **geo),
+            grid=(n, ho // s),
+            in_specs=[
+                pl.BlockSpec((1, hi, wi, c), lambda b, i: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, s, wo, heads * c),
+                             lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, s, wo, f), lambda b, i: (b, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(wf.shape, w.dtype),
+            scratch_shapes=[pltpu.VMEM((1, hp, wp, c), x.dtype)],
+            interpret=_use_interpret(),
+        )(x, dy)
+        return dx, dwf.reshape(w.shape)
+    m = plan[1]
 
     dx = pl.pallas_call(
         functools.partial(_dx_kernel, **geo),

@@ -125,3 +125,43 @@ def test_random_erasing_modes():
     # probability 0 -> identity
     re0 = RandomErasing(probability=0.0)
     assert re0(jax.random.PRNGKey(0), batch) is batch
+
+
+def test_increasing_variant_ops():
+    """The variant magnitude curves (reference auto_augment.py:192-260):
+    same primitives, different level->arg mapping — checked against PIL."""
+    from cotnet_tpu.data.rand_augment import OP_NAMES, _apply_op
+    arr, im = _img(7)
+    x = jnp.asarray(arr, jnp.float32)
+    idx = {n: i for i, n in enumerate(OP_NAMES)}
+    lvl = 5.0  # -> lvl/MAX = 0.5
+    key = jax.random.PRNGKey(0)
+
+    # PosterizeIncreasing @5 -> keep 4 - 2 = 2 bits
+    got = _apply_op(jnp.asarray(idx["PosterizeIncreasing"]), x, lvl, 1.0, key)
+    _close(got, ImageOps.posterize(im, 2), atol=0.01)
+    # PosterizeOriginal @5 -> keep 4 + 2 = 6 bits
+    got = _apply_op(jnp.asarray(idx["PosterizeOriginal"]), x, lvl, 1.0, key)
+    _close(got, ImageOps.posterize(im, 6), atol=0.01)
+    # SolarizeIncreasing @5 -> threshold 256 - 128 = 128
+    got = _apply_op(jnp.asarray(idx["SolarizeIncreasing"]), x, lvl, 1.0, key)
+    _close(got, ImageOps.solarize(im, 128), atol=0.01)
+    # ColorIncreasing @5 sign=+1 -> factor 1.45
+    got = _apply_op(jnp.asarray(idx["ColorIncreasing"]), x, lvl, 1.0, key)
+    _close(got, ImageEnhance.Color(im).enhance(1.45), atol=1.01, frac=0.99)
+    # BrightnessIncreasing @5 sign=-1 -> factor 0.55
+    got = _apply_op(jnp.asarray(idx["BrightnessIncreasing"]), x, lvl, -1.0,
+                    key)
+    _close(got, ImageEnhance.Brightness(im).enhance(0.55), atol=1.01)
+
+
+@pytest.mark.parametrize("policy", ["v0", "v0r", "original", "originalr"])
+def test_auto_augment_policies_run(policy):
+    from cotnet_tpu.data.auto_augment import auto_augment_transform
+    aug = auto_augment_transform(f"{policy}-mstd0.5")
+    batch = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (4, 32, 32, 3)), jnp.float32)
+    out = jax.jit(aug)(jax.random.PRNGKey(0), batch)
+    assert out.shape == batch.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert float(jnp.max(out)) <= 255.0 + 1e-3

@@ -1,0 +1,137 @@
+"""WHOLE-NETWORK conversion parity against the reference's actual torch
+models.
+
+We import the reference's own ``models/cotnet.py`` / ``models/cotnet_hybrid.py``
+(torch) with two shims: a stub ``config`` module (constants only) and a fake
+``cupy_layers.aggregation_zeropad.LocalConvolution`` whose forward is the
+reference's OWN unfold-einsum oracle (aggregation_zeropad.py:249-251) so the
+CUDA kernel is not needed.  The torch model is randomly initialized (incl.
+randomized BN running stats), its state_dict is converted with
+utils/convert.py, and the end-to-end logits must match — this exercises every
+naming rule, the cw-major->k-major permutation, deep stem, BlurPool, avd,
+GroupNorm, SplitAttn/SE and downsample conventions across the full depth of
+the network (reference load path: models/helpers.py:23-43, 91-153).
+"""
+
+import importlib
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "models")),
+    reason="reference tree not available")
+
+
+def _import_reference_cotnet():
+    """Import the reference torch cotnet/cotnet_hybrid modules standalone."""
+    if "models.cotnet" in sys.modules:
+        return (sys.modules["models.cotnet"],
+                sys.modules["models.cotnet_hybrid"])
+    import torch
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    cfgmod = types.ModuleType("config")
+    cfgmod.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+    cfgmod.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+    cfgmod.IMAGENET_INCEPTION_MEAN = (0.5, 0.5, 0.5)
+    cfgmod.IMAGENET_INCEPTION_STD = (0.5, 0.5, 0.5)
+    sys.modules.setdefault("config", cfgmod)
+
+    agg = types.ModuleType("cupy_layers.aggregation_zeropad")
+
+    class LocalConvolution(torch.nn.Module):
+        """CPU stand-in: the unfold-einsum formulation the reference uses as
+        its numerical oracle (aggregation_zeropad.py:249-251)."""
+
+        def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                     padding=0, dilation=1, pad_mode=0):
+            super().__init__()
+            self.kernel_size = kernel_size
+            self.stride = stride
+            self.padding = padding
+            self.dilation = dilation
+
+        def forward(self, x, w):
+            n, cx, _, _ = x.shape
+            heads, cw, k2, oh, ow = w.shape[1:]
+            unf = torch.nn.Unfold(self.kernel_size, self.dilation,
+                                  self.padding, self.stride)(x)
+            x2 = unf.view(n, cx // cw, cw, k2, oh, ow)
+            return (w.unsqueeze(2) * x2.unsqueeze(1)).sum(-3).reshape(
+                n, heads * cx, oh, ow)
+
+    agg.LocalConvolution = LocalConvolution
+    cupy_pkg = types.ModuleType("cupy_layers")
+    cupy_pkg.__path__ = []
+    cupy_pkg.aggregation_zeropad = agg
+    sys.modules["cupy_layers"] = cupy_pkg
+    sys.modules["cupy_layers.aggregation_zeropad"] = agg
+    if "models" not in sys.modules:
+        pkg = types.ModuleType("models")
+        pkg.__path__ = [os.path.join(REF, "models")]
+        sys.modules["models"] = pkg
+    cot = importlib.import_module("models.cotnet")
+    hyb = importlib.import_module("models.cotnet_hybrid")
+    return cot, hyb
+
+
+def _full_net_parity(tfn, our_name, dw_group=1, avg_down=False, size=64,
+                     atol=2e-3):
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from cotnet_tpu.models import create_model
+    from cotnet_tpu.utils.convert import convert_torch_state_dict
+
+    torch.manual_seed(0)
+    tm = tfn()
+    tm.eval()
+    # randomized running stats so the conversion must carry batch_stats too
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.8, 1.3)
+    x = torch.randn(2, 3, size, size)
+    with torch.no_grad():
+        ty = tm(x).numpy()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    model = create_model(our_name)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    shapes = jax.eval_shape(
+        lambda r, x: model.init({"params": r}, x, training=False),
+        jax.random.PRNGKey(0), xj)
+    variables = convert_torch_state_dict(
+        sd, shapes, avg_down=avg_down, dw_group=dw_group, strict=True)
+    jy = np.asarray(model.apply(variables, xj, training=False))
+    assert jy.shape == ty.shape
+    d = np.abs(jy - ty).max()
+    assert d < atol, f"{our_name}: end-to-end logit diff {d:.2e}"
+
+
+def test_full_cotnet50_conversion():
+    cot, _ = _import_reference_cotnet()
+    _full_net_parity(cot.cotnet50, "cotnet50")
+
+
+def test_full_cotnext50_conversion():
+    cot, _ = _import_reference_cotnet()
+    _full_net_parity(cot.cotnext50_2x48d, "cotnext50_2x48d", dw_group=2)
+
+
+def test_full_se_cotnetd_50_conversion():
+    _, hyb = _import_reference_cotnet()
+    _full_net_parity(hyb.se_cotnetd_50, "se_cotnetd_50", avg_down=True)
+
+
+def test_full_se_cotnetd_152_conversion():
+    """The flagship config: BlurPool aa + avd + deep stem + SE."""
+    _, hyb = _import_reference_cotnet()
+    _full_net_parity(hyb.se_cotnetd_152, "se_cotnetd_152", avg_down=True)
