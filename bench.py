@@ -79,13 +79,54 @@ def build(model_name: str, batch: int, size: int, impl: str, dtype,
     return chained, variables, x
 
 
+def build_train(model_name: str, batch: int, size: int, impl: str, dtype,
+                iters: int):
+    """Chained SGD training steps (fwd + bwd + update): the param carry
+    serializes iterations on-device; measures the full train step incl. the
+    Pallas dx/dw kernels."""
+    from jax import lax
+
+    from cotnet_tpu.models import create_model
+
+    model = create_model(model_name, dtype=dtype, block_args=dict(impl=impl))
+    x = jnp.ones((batch, size, size, 3), dtype)
+    labels = jnp.arange(batch) % 1000
+    shapes = jax.eval_shape(
+        lambda r, x: model.init({"params": r}, x, training=True),
+        jax.random.PRNGKey(0), x)
+    variables = _zeros_like_tree(shapes)
+
+    def loss_fn(params, batch_stats, x):
+        out, upd = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, training=True,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)})
+        logp = jax.nn.log_softmax(out.astype(jnp.float32))
+        loss = -jnp.mean(logp[jnp.arange(out.shape[0]), labels])
+        return loss, upd["batch_stats"]
+
+    @jax.jit
+    def chained(v, x):
+        def body(i, carry):
+            params, stats = carry
+            (loss, stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, stats, x)
+            params = jax.tree.map(lambda p, g: p - 0.01 * g.astype(p.dtype),
+                                  params, grads)
+            return params, stats
+        params, stats = lax.fori_loop(
+            0, iters, body, (v["params"], v["batch_stats"]))
+        return jax.tree.leaves(params)[0]
+
+    return chained, variables, x
+
+
 def timeit(chained, variables, x, iters):
     # fetch one element to host — a transfer cannot complete before the
     # computation does, which makes the timing robust to any runtime that
     # acks block_until_ready early
-    np.asarray(chained(variables, x)[0, 0, 0, 0])  # compile + warm
+    np.asarray(chained(variables, x).ravel()[0])  # compile + warm
     t0 = time.perf_counter()
-    np.asarray(chained(variables, x)[0, 0, 0, 0])
+    np.asarray(chained(variables, x).ravel()[0])
     return (time.perf_counter() - t0) / iters
 
 
@@ -100,6 +141,15 @@ def main():
     fwd_x, v_x, x_x = build("cotnet50", batch, size, "xla", dtype, iters)
     dt_xla = timeit(fwd_x, v_x, x_x, iters)
 
+    # train step (fwd+bwd+SGD) — driver-visible training throughput
+    t_iters = 8
+    tr_p, tv_p, tx_p = build_train("cotnet50", batch, size, "pallas", dtype,
+                                   t_iters)
+    dt_train = timeit(tr_p, tv_p, tx_p, t_iters)
+    tr_x, tv_x, tx_x = build_train("cotnet50", batch, size, "xla", dtype,
+                                   t_iters)
+    dt_train_xla = timeit(tr_x, tv_x, tx_x, t_iters)
+
     ips = batch / dt_pallas
     ips_xla = batch / dt_xla
     best = max(ips, ips_xla)
@@ -111,6 +161,9 @@ def main():
         "detail": {"pallas_ips": round(ips, 1), "xla_ips": round(ips_xla, 1),
                    "ms_per_batch_pallas": round(dt_pallas * 1e3, 3),
                    "ms_per_batch_xla": round(dt_xla * 1e3, 3),
+                   "train_imgs_per_sec": round(batch / dt_train, 1),
+                   "train_ms_per_batch": round(dt_train * 1e3, 3),
+                   "train_imgs_per_sec_xla": round(batch / dt_train_xla, 1),
                    "platform": jax.default_backend()},
     }
     signal.alarm(0)

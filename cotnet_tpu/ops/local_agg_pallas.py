@@ -32,15 +32,16 @@ TPU-native replacements for the reference's CUDA kernels
   weight-grad writes straight into the same flat k-major layout, so the
   backward pass needs no relayout either.
 
-- **Spatial strip tiling with halo for large maps.**  Whole-image blocks cap
-  the kernel at stage-2 sizes (56x56x64 needs ~30 MB of scoped VMEM).  For
-  those shapes the grid adds a strip dimension: outputs/weights are blocked
-  into ``S``-row strips while the (small) input image stays VMEM-resident as
-  a zero-padded scratch filled once per image, so each tap is a dynamic
-  H-offset slice — the K//2 halo costs no extra HBM traffic (SURVEY §7's
-  halo prescription).  The dx kernel uses the gather (transpose) form on
-  zero-padded resident dy/w scratches so strips write disjoint rows and no
-  cross-strip accumulation is needed.
+- **Spatial strip tiling with halo for large maps (off by default).**
+  Whole-image blocks cap the kernel at stage-2 sizes (56x56x64 needs ~30 MB
+  of scoped VMEM).  For those shapes fwd/dw strip kernels exist: outputs and
+  weights blocked into ``S``-row strips while the input image stays
+  VMEM-resident as a zero-padded f32 scratch filled once per image, each tap
+  a dynamic H-offset slice (the K//2 halo is slice overlap, no extra HBM
+  traffic — SURVEY §7's halo prescription); dx uses the XLA transpose.
+  MEASURED on v5e they lose to XLA at every shape they would cover (see the
+  STRIP_DISPATCH note below), so dispatch prefers XLA there; the kernels
+  stay tested for future tuning.
 
 Only stride=1 has kernels (every model in the family aggregates at stride 1;
 ``local_agg.local_aggregate`` routes strided cases to the XLA formulation).
@@ -134,7 +135,12 @@ def _strip_working_set(x_shape, w_shape, itemsize, padding, s) -> dict:
     _, ho, wo, heads, k2, cw = w_shape
     hp, wp = hi + 2 * padding[0], wi + 2 * padding[1]
     f = heads * k2 * cw
-    live = 3 + k2 // 4
+    live = min(3 + k2 // 4, 6)  # grouped accumulation caps live taps
+    # sub-f32 inputs are up-converted ONCE per strip (padded scratch is
+    # f32; the weight strip converts in one temp), so per-tap temps are
+    # dtype-independent; the one-shot conversions are accounted below
+    conv_extra = (0 if itemsize == 4 else
+                  _tiled_bytes((1, s, wo, f), 4))
     # halo'd tensors ride as whole-image VMEM blocks (a sub-lane-width DMA
     # from HBM is not Mosaic-expressible: lane slices must align to 128) and
     # are copied once per image into zero-padded resident scratches
@@ -143,14 +149,25 @@ def _strip_working_set(x_shape, w_shape, itemsize, padding, s) -> dict:
     out_strip = _tiled_bytes((1, s, wo, heads * c), itemsize)
     t_strip = _tiled_bytes((1, s, wo, c), 4)
     fwd = (2 * (x_full + w_strip + out_strip)
-           + _tiled_bytes((1, hp, wp, c), itemsize) + live * t_strip)
+           + _tiled_bytes((1, hp, wp, c), 4) + conv_extra + live * t_strip)
     # dx is NOT a strip kernel: its gather form needs full-res dy/w resident
     # (measured 22.6 MB scoped at 56x56x64) — the bwd rule computes dx with
     # the XLA transpose instead (fuses well; stage-1 dx was on XLA before
     # strips existed too)
     dw = (2 * (x_full + out_strip + w_strip)
-          + _tiled_bytes((1, hp, wp, c), itemsize) + live * t_strip)
+          + _tiled_bytes((1, hp, wp, c), 4) + conv_extra + live * t_strip)
     return dict(fwd=fwd, dw=dw)
+
+
+# Strip dispatch is OFF by default: measured on v5e bf16 bs128 at the one
+# stage the whole-image kernels can't hold (56x56x64 K3), XLA wins — fwd
+# 2.81 ms vs strips 3.04 (S=28, grouped accumulation; S=14 was 3.11), bwd
+# 6.36 vs 7.75 — and the K=7 SAN shape's 49-tap unroll blows Mosaic compile
+# time past 9 minutes.  The kernels stay (tested in interpret mode) for
+# future tuning; flip on via COTNET_AGG_STRIPS=1 or this module flag.
+import os as _os
+
+STRIP_DISPATCH = _os.environ.get("COTNET_AGG_STRIPS", "0") == "1"
 
 
 def strip_plan(x_shape, w_shape, itemsize, padding=(0, 0)):
@@ -159,6 +176,8 @@ def strip_plan(x_shape, w_shape, itemsize, padding=(0, 0)):
     Valid when the gather-form dx stays in range (2*pad >= dilated span,
     true for all SAME-style geometries) and all three kernels' working sets
     fit; prefers the largest strip (fewest grid steps)."""
+    if not STRIP_DISPATCH:
+        return None
     n, hi, wi, c = x_shape
     _, ho, wo, heads, k2, cw = w_shape
     # geometry gates: dx gather form + strips must tile both ho and hi
@@ -270,8 +289,8 @@ def _dw_kernel(x_ref, dy_ref, dw_ref, xp_ref, *, kh, kw, dh, dw, heads, g,
                 dw_ref[:, :, :, k * cw:(k + 1) * cw] = acc.astype(out_dtype)
 
 
-def _fwd_strip_kernel(x_ref, w_ref, out_ref, xp_ref, *, s, kh, kw, dh,
-                      dw, heads, g, cw, ho, wo, c, ph, pw, hi, wi):
+def _fwd_strip_kernel(x_ref, w_ref, out_ref, xp_ref, acc_ref, *, s, kh, kw,
+                      dh, dw, heads, g, cw, ho, wo, c, ph, pw, hi, wi):
     """Strip-tiled forward: grid (N, Ho//S); the full padded input lives in a
     VMEM scratch filled once per image (strip 0); every tap is a dynamic
     H-offset slice of it (the halo is just the slice overlap)."""
@@ -279,21 +298,41 @@ def _fwd_strip_kernel(x_ref, w_ref, out_ref, xp_ref, *, s, kh, kw, dh,
 
     @pl.when(i == 0)
     def _fill():
-        _fill_padded(x_ref, xp_ref, ph, pw, hi, wi)
+        # the scratch is fp32: sub-f32 inputs convert ONCE here instead of
+        # per tap (per-tap converts double Mosaic's live temps; bf16 S=28
+        # at 56x56x64 measured 16.48 MB scoped that way)
+        if ph == 0 and pw == 0:
+            xp_ref[...] = x_ref[...].astype(jnp.float32)
+        else:
+            xp_ref[...] = jnp.zeros_like(xp_ref)
+            xp_ref[:, ph:ph + hi, pw:pw + wi, :] = (
+                x_ref[...].astype(jnp.float32))
 
     out_dtype = out_ref.dtype
+    w_f32 = w_ref[...].astype(jnp.float32)   # one-shot strip conversion
     base = i * s
     for head in range(heads):
-        acc = None
-        for ikh in range(kh):
-            for ikw in range(kw):
+        # grouped accumulation: SSA chains of GROUP taps with a scratch
+        # read-modify-write between groups — caps Mosaic's peak live
+        # temporaries at ~GROUP tap buffers instead of K^2 (the bf16 S=28
+        # full chain measured 16.25 MB scoped, 260 KB over the limit)
+        taps = [(ikh, ikw) for ikh in range(kh) for ikw in range(kw)]
+        GROUP = 3
+        for t0 in range(0, len(taps), GROUP):
+            part = None
+            for ikh, ikw in taps[t0:t0 + GROUP]:
                 k = head * kh * kw + ikh * kw + ikw
                 xs = xp_ref[:, pl.ds(base + ikh * dh, s),
-                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
-                wk = w_ref[:, :, :, k * cw:(k + 1) * cw].astype(jnp.float32)
+                            ikw * dw:ikw * dw + wo, :]
+                wk = w_f32[:, :, :, k * cw:(k + 1) * cw]
                 tap = xs * _tile_lanes(wk, g)
-                acc = tap if acc is None else acc + tap
-        out_ref[:, :, :, head * c:(head + 1) * c] = acc.astype(out_dtype)
+                part = tap if part is None else part + tap
+            if t0 == 0:
+                acc_ref[...] = part
+            else:
+                acc_ref[...] = acc_ref[...] + part
+        out_ref[:, :, :, head * c:(head + 1) * c] = (
+            acc_ref[...].astype(out_dtype))
 
 
 def _dw_strip_kernel(x_ref, dy_ref, dwf_ref, xp_ref, *, s, kh, kw, dh,
@@ -304,7 +343,12 @@ def _dw_strip_kernel(x_ref, dy_ref, dwf_ref, xp_ref, *, s, kh, kw, dh,
 
     @pl.when(i == 0)
     def _fill():
-        _fill_padded(x_ref, xp_ref, ph, pw, hi, wi)
+        if ph == 0 and pw == 0:
+            xp_ref[...] = x_ref[...].astype(jnp.float32)
+        else:
+            xp_ref[...] = jnp.zeros_like(xp_ref)
+            xp_ref[:, ph:ph + hi, pw:pw + wi, :] = (
+                x_ref[...].astype(jnp.float32))
 
     out_dtype = dwf_ref.dtype
     base = i * s
@@ -314,7 +358,7 @@ def _dw_strip_kernel(x_ref, dy_ref, dwf_ref, xp_ref, *, s, kh, kw, dh,
             for ikw in range(kw):
                 k = head * kh * kw + ikh * kw + ikw
                 xs = xp_ref[:, pl.ds(base + ikh * dh, s),
-                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
+                            ikw * dw:ikw * dw + wo, :]
                 t = xs * dys
                 acc = t[:, :, :, 0:cw]
                 for gi in range(1, g):
@@ -384,7 +428,8 @@ def _agg_fwd_impl(x, w, kernel_size, dilation, padding):
                                    lambda b, i: (b, i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n, ho, wo, heads * c), x.dtype),
-            scratch_shapes=[pltpu.VMEM((1, hp, wp, c), x.dtype)],
+            scratch_shapes=[pltpu.VMEM((1, hp, wp, c), jnp.float32),
+                            pltpu.VMEM((1, s, wo, c), jnp.float32)],
             interpret=_use_interpret(),
             cost_estimate=pl.CostEstimate(
                 flops=2 * n * ho * wo * heads * geo["kh"] * geo["kw"] * c,
@@ -451,7 +496,7 @@ def _agg_bwd_rule(kernel_size, dilation, padding, res, dy):
             out_specs=pl.BlockSpec((1, s, wo, f), lambda b, i: (b, i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(wf.shape, w.dtype),
-            scratch_shapes=[pltpu.VMEM((1, hp, wp, c), x.dtype)],
+            scratch_shapes=[pltpu.VMEM((1, hp, wp, c), jnp.float32)],
             interpret=_use_interpret(),
         )(x, dy)
         return dx, dwf.reshape(w.shape)

@@ -158,3 +158,31 @@ def test_bf16_runs_and_is_close():
         ref = oracle_agg(x.astype(np.float64), w.astype(np.float64), 3, 1, pad, 1)
         np.testing.assert_allclose(np.asarray(y, dtype=np.float64), ref,
                                    rtol=0.1, atol=0.25)
+
+
+def test_strip_kernels_parity():
+    """The halo strip kernels (interpret mode) vs the XLA oracle — kept
+    correct even while strip dispatch is off by default (measured slower
+    than XLA on v5e at the shapes it covers; see local_agg_pallas notes)."""
+    import cotnet_tpu.ops.local_agg_pallas as lap
+
+    old = lap.STRIP_DISPATCH
+    lap.STRIP_DISPATCH = True
+    try:
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 56, 56, 16))
+        w = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 1, 9, 2))
+        assert lap.pallas_plan(x.shape, w.shape, 4, (1, 1))[0] == "strip"
+
+        def f(impl):
+            return lambda x, w: jnp.sum(jnp.sin(local_aggregate(
+                x, w, kernel_size=3, padding=1, impl=impl)))
+
+        ya, yb = f("xla")(x, w), f("pallas")(x, w)
+        assert abs(float(ya - yb)) < 1e-3
+        ga = jax.grad(f("xla"), (0, 1))(x, w)
+        gb = jax.grad(f("pallas"), (0, 1))(x, w)
+        for a, b in zip(ga, gb):
+            rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
+            assert rel < 1e-5, rel
+    finally:
+        lap.STRIP_DISPATCH = old
