@@ -76,20 +76,48 @@ def _kmajor_perm(n: int, k2: int, groups: int = 1) -> np.ndarray:
     return np.asarray(perm)
 
 
-def _to_torch_key(parts, avg_down: bool) -> Optional[str]:
+# per-family renames on top of the generic rules; selected by model name in
+# convert_torch_checkpoint (reference families use different SE attribute
+# names: models/layers/se.py fc1/fc2 vs efficientnet_blocks.py:105-120
+# conv_reduce/conv_expand; ViT's patch embed is a proj inside a module)
+_EFFNET_SE = {("se", "fc1"): "se.conv_reduce", ("se", "fc2"): "se.conv_expand"}
+_VIT_RENAMES = {"patch_embed": "patch_embed.proj"}
+
+FAMILY_ADAPTERS = {
+    "efficientnet": dict(pair_map=_EFFNET_SE),
+    "vit": dict(name_map=_VIT_RENAMES),
+}
+
+_BLOCKS_RE = re.compile(r"^blocks_(\d+)(?:_(\d+))?$")
+
+
+def _to_torch_key(parts, avg_down: bool, adapter=None) -> Optional[str]:
     """flax path components (minus leaf) -> torch module path."""
+    adapter = adapter or {}
+    pair_map = adapter.get("pair_map", {})
+    name_map = adapter.get("name_map", {})
     out = []
     i = 0
     n = len(parts)
     while i < n:
         p = parts[i]
-        if i == 0 and p in _DEEP_STEM:
+        if i + 1 < n and (p, parts[i + 1]) in pair_map:
+            out.append(pair_map[(p, parts[i + 1])])
+            i += 2
+            continue
+        m = _BLOCKS_RE.match(p)
+        if p in name_map:
+            out.append(name_map[p])
+        elif m:
+            # blocks_{stage}_{idx} / blocks_{idx} -> blocks.{stage}.{idx}
+            out.append("blocks." + ".".join(g for g in m.groups() if g))
+        elif i == 0 and p in _DEEP_STEM:
             out.append(_DEEP_STEM[p])
         elif i == 0 and p.startswith("layer") and "_" in p:
             stage, blk = p.split("_", 1)
             out.append(f"{stage}.{blk}")
-        elif p == "head":
-            pass  # head/fc -> fc
+        elif p == "head" and i + 1 < n:
+            pass  # chassis ClassifierHead nesting: head/fc -> fc
         elif p == "downsample":
             nxt = parts[i + 1]
             idx = {"conv": 1, "bn": 2} if avg_down else {"conv": 0, "bn": 1}
@@ -114,6 +142,7 @@ def convert_torch_state_dict(
     dw_group: int = 1,
     kernel_size: int = 3,
     strict: bool = True,
+    adapter: Optional[dict] = None,
 ) -> Dict[str, Any]:
     """Map a torch state_dict onto the flax variable structure.
 
@@ -136,7 +165,7 @@ def convert_torch_state_dict(
 
     for path, ref in flat_p.items():
         parts, leaf = list(path[:-1]), path[-1]
-        tmod = _to_torch_key(parts, avg_down)
+        tmod = _to_torch_key(parts, avg_down, adapter)
         if tmod is None:
             continue
         is_embed_producer = parts and parts[-1] in ("embed_conv2", "embed_gn")
@@ -183,7 +212,7 @@ def convert_torch_state_dict(
 
     for path, ref in flat_b.items():
         parts, leaf = list(path[:-1]), path[-1]
-        tmod = _to_torch_key(parts, avg_down)
+        tmod = _to_torch_key(parts, avg_down, adapter)
         if tmod is None:
             continue
         tkey = f"{tmod}.running_{'mean' if leaf == 'mean' else 'var'}"
@@ -249,6 +278,18 @@ def model_avg_down(model_name: str) -> bool:
     return "cotnetd" in model_name or model_name.endswith("d")
 
 
+def model_adapter(model_name: str) -> Optional[dict]:
+    """Per-family converter adapter by registry key."""
+    from cotnet_tpu.models.registry import is_model_in_modules
+
+    if model_name and is_model_in_modules(
+            model_name, ["efficientnet", "mobilenetv3"]):
+        return FAMILY_ADAPTERS["efficientnet"]
+    if model_name and is_model_in_modules(model_name, ["vision_transformer"]):
+        return FAMILY_ADAPTERS["vit"]
+    return None
+
+
 def convert_torch_checkpoint(path: str, flax_variables, model_name: str = "",
                              use_ema: bool = False, strict: bool = True,
                              in_chans: int = 3):
@@ -259,6 +300,7 @@ def convert_torch_checkpoint(path: str, flax_variables, model_name: str = "",
     converted = convert_torch_state_dict(sd, flax_variables,
                                          avg_down=avg_down,
                                          dw_group=dw_group,
+                                         adapter=model_adapter(model_name),
                                          strict=strict and in_chans == 3)
     if in_chans != 3:
         converted = surgery(converted, flax_variables)

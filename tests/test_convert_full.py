@@ -135,3 +135,71 @@ def test_full_se_cotnetd_152_conversion():
     """The flagship config: BlurPool aa + avd + deep stem + SE."""
     _, hyb = _import_reference_cotnet()
     _full_net_parity(hyb.se_cotnetd_152, "se_cotnetd_152", avg_down=True)
+
+
+def _import_reference_module(modname):
+    """Import any torch-only reference models/*.py standalone."""
+    _import_reference_cotnet()   # installs the config/models/cupy shims
+    mod = importlib.import_module(f"models.{modname}")
+    helpers = sys.modules["models.helpers"]
+    orig = helpers.build_model_with_cfg
+
+    def patched(*a, **kw):
+        kw.pop("pretrained_custom_load", None)
+        return orig(*a, **kw)
+
+    helpers.build_model_with_cfg = patched
+    if hasattr(mod, "build_model_with_cfg"):
+        mod.build_model_with_cfg = patched
+    return mod
+
+
+def _zoo_net_parity(tm, our_name, size, atol=2e-3):
+    """Same flow as _full_net_parity but with the per-family adapter."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from cotnet_tpu.models import create_model
+    from cotnet_tpu.utils.convert import convert_torch_state_dict, model_adapter
+
+    torch.manual_seed(0)
+    tm.eval()
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.8, 1.3)
+    x = torch.randn(2, 3, size, size)
+    with torch.no_grad():
+        ty = tm(x).numpy()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    model = create_model(our_name)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    shapes = jax.eval_shape(
+        lambda r, x: model.init({"params": r}, x, training=False),
+        jax.random.PRNGKey(0), xj)
+    variables = convert_torch_state_dict(
+        sd, shapes, adapter=model_adapter(our_name), strict=True)
+    jy = np.asarray(model.apply(variables, xj, training=False))
+    d = np.abs(jy - ty).max()
+    assert d < atol, f"{our_name}: end-to-end logit diff {d:.2e}"
+
+
+def test_full_efficientnet_b0_conversion():
+    """Zoo conversion: the reference's torch efficientnet_b0 converts and
+    matches end-to-end (SE conv_reduce/expand naming, blocks.{s}.{i} map,
+    depthwise convs)."""
+    mod = _import_reference_module("efficientnet")
+    _zoo_net_parity(mod.efficientnet_b0(), "efficientnet_b0", 64)
+
+
+def test_full_mnasnet_conversion():
+    mod = _import_reference_module("efficientnet")
+    _zoo_net_parity(mod.semnasnet_100(), "semnasnet_100", 64)
+
+
+def test_full_vit_tiny_conversion():
+    """Zoo conversion: torch ViT-Tiny converts (patch_embed.proj, qkv/proj
+    linears, cls_token/pos_embed verbatim) and matches end-to-end."""
+    mod = _import_reference_module("vision_transformer")
+    _zoo_net_parity(mod.vit_tiny_patch16_224(), "vit_tiny_patch16_224", 224,
+                    atol=5e-4)
