@@ -83,9 +83,70 @@ def _kmajor_perm(n: int, k2: int, groups: int = 1) -> np.ndarray:
 _EFFNET_SE = {("se", "fc1"): "se.conv_reduce", ("se", "fc2"): "se.conv_expand"}
 _VIT_RENAMES = {"patch_embed": "patch_embed.proj"}
 
+
+def _rexnet_infer(sd, adapter):
+    """rexnet's trailing ConvBnAct lives at features.<num_blocks>; infer the
+    index from the state_dict (varies with depth multiplier)."""
+    idxs = [int(m.group(1)) for k in sd
+            for m in [re.match(r"features\.(\d+)\.", k)] if m]
+    head = max(idxs) if idxs else 0
+    nm = dict(adapter.get("name_map", {}))
+    nm["head_conv"] = f"features.{head}.conv"
+    nm["head_bn"] = f"features.{head}.bn"
+    return {**adapter, "name_map": nm}
+
+
+def _swin_merge_perm(val: np.ndarray) -> np.ndarray:
+    """PatchMerging channel-group reorder.  Torch concats (x0,x1,x2,x3) =
+    ((even,even),(odd,even),(even,odd),(odd,odd)); our reshape produces
+    (h-parity, w-parity) raster order — groups 1 and 2 swap.  Applies to
+    the merge norm params (axis 0, 4c) and the reduction matrix rows."""
+    c = val.shape[0] // 4
+    perm = np.concatenate([np.arange(c) + g * c for g in (0, 2, 1, 3)])
+    return val[perm]
+
+
 FAMILY_ADAPTERS = {
     "efficientnet": dict(pair_map=_EFFNET_SE),
     "vit": dict(name_map=_VIT_RENAMES),
+    "swin": dict(
+        name_map={"patch_embed": "patch_embed.proj",
+                  "patch_norm": "patch_embed.norm"},
+        regex_map=[(r"^layers_(\d+)_(\d+)$", r"layers.\1.blocks.\2"),
+                   # our merge_norm{s} precedes stage s; the reference's
+                   # PatchMerging closes stage s-1 (layers.{s-1}.downsample)
+                   (r"^merge_norm1$", "layers.0.downsample.norm"),
+                   (r"^merge_norm2$", "layers.1.downsample.norm"),
+                   (r"^merge_norm3$", "layers.2.downsample.norm"),
+                   (r"^merge_reduction1$", "layers.0.downsample.reduction"),
+                   (r"^merge_reduction2$", "layers.1.downsample.reduction"),
+                   (r"^merge_reduction3$", "layers.2.downsample.reduction")],
+        value_regex_map=[
+            (r"merge_(norm|reduction)\d+/(scale|bias|kernel)$",
+             _swin_merge_perm)]),
+    "res2net": dict(
+        regex_map=[(r"^bns_(\d+)$", r"bns.\1"),
+                   (r"^convs_(\d+)$", r"convs.\1")]),
+    "regnet": dict(
+        name_map={"fc": "head.fc", "stem_conv": "stem.conv",
+                  "stem_bn": "stem.bn", "downsample_conv": "downsample.conv",
+                  "downsample_bn": "downsample.bn"},
+        regex_map=[(r"^s(\d+)_b(\d+)$", r"s\1.b\2"),
+                   (r"^conv(\d)$", r"conv\1.conv"),
+                   (r"^bn(\d)$", r"conv\1.bn")]),
+    "densenet": dict(
+        regex_map=[(r"^denseblock(\d+)_layer(\d+)$",
+                    r"features.denseblock\1.denselayer\2"),
+                   (r"^transition(\d+)_(conv|norm)$",
+                    r"features.transition\1.\2")],
+        top_regex_map=[(r"^(conv|norm)(\d+)$", r"features.\1\2")]),
+    "rexnet": dict(
+        name_map={"fc": "head.fc", "stem_conv": "stem.conv",
+                  "stem_bn": "stem.bn"},
+        regex_map=[(r"^block_(\d+)$", r"features.\1"),
+                   (r"^conv_(exp|dw|pwl)$", r"conv_\1.conv"),
+                   (r"^bn_(exp|dw|pwl)$", r"conv_\1.bn")],
+        infer=_rexnet_infer),
 }
 
 _BLOCKS_RE = re.compile(r"^blocks_(\d+)(?:_(\d+))?$")
@@ -96,6 +157,8 @@ def _to_torch_key(parts, avg_down: bool, adapter=None) -> Optional[str]:
     adapter = adapter or {}
     pair_map = adapter.get("pair_map", {})
     name_map = adapter.get("name_map", {})
+    regex_map = adapter.get("regex_map", ())
+    top_regex_map = adapter.get("top_regex_map", ())
     out = []
     i = 0
     n = len(parts)
@@ -105,8 +168,17 @@ def _to_torch_key(parts, avg_down: bool, adapter=None) -> Optional[str]:
             out.append(pair_map[(p, parts[i + 1])])
             i += 2
             continue
+        hit = None
+        rules = (tuple(top_regex_map) if i == 0 else ()) + tuple(regex_map)
+        for pat, repl in rules:
+            new, nsub = re.subn(pat, repl, p)
+            if nsub:
+                hit = new
+                break
         m = _BLOCKS_RE.match(p)
-        if p in name_map:
+        if hit is not None:
+            out.append(hit)
+        elif p in name_map:
             out.append(name_map[p])
         elif m:
             # blocks_{stage}_{idx} / blocks_{idx} -> blocks.{stage}.{idx}
@@ -160,6 +232,18 @@ def convert_torch_state_dict(
         missing.append(tkey)
         return None
 
+    if adapter and "infer" in adapter:
+        adapter = adapter["infer"](sd, adapter)
+    value_rules = [(re.compile(pat), fn) for pat, fn in
+                   (adapter or {}).get("value_regex_map", ())]
+
+    def apply_value_rules(path, val):
+        joined = "/".join(map(str, path))
+        for pat, fn in value_rules:
+            if pat.search(joined):
+                val = fn(val)
+        return val
+
     flat_p = flatten_dict(flax_variables["params"])
     flat_b = flatten_dict(flax_variables.get("batch_stats", {}))
 
@@ -202,6 +286,7 @@ def convert_torch_state_dict(
             val = fetch(tkey)
             if val is None:
                 continue
+        val = apply_value_rules(path, val)
         if tuple(val.shape) != tuple(ref.shape):
             if strict:
                 raise ValueError(
@@ -287,6 +372,11 @@ def model_adapter(model_name: str) -> Optional[dict]:
         return FAMILY_ADAPTERS["efficientnet"]
     if model_name and is_model_in_modules(model_name, ["vision_transformer"]):
         return FAMILY_ADAPTERS["vit"]
+    for mod, key in (("swin_transformer", "swin"), ("res2net", "res2net"),
+                     ("regnet", "regnet"), ("densenet", "densenet"),
+                     ("rexnet", "rexnet")):
+        if model_name and is_model_in_modules(model_name, [mod]):
+            return FAMILY_ADAPTERS[key]
     return None
 
 

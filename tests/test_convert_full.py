@@ -155,12 +155,14 @@ def _import_reference_module(modname):
 
 
 def _zoo_net_parity(tm, our_name, size, atol=2e-3):
-    """Same flow as _full_net_parity but with the per-family adapter."""
+    """Same flow as _full_net_parity but with the per-family adapter +
+    the registry-derived avg_down convention."""
     import torch
     import jax
     import jax.numpy as jnp
     from cotnet_tpu.models import create_model
-    from cotnet_tpu.utils.convert import convert_torch_state_dict, model_adapter
+    from cotnet_tpu.utils.convert import (convert_torch_state_dict,
+                                          model_adapter, model_avg_down)
 
     torch.manual_seed(0)
     tm.eval()
@@ -178,7 +180,8 @@ def _zoo_net_parity(tm, our_name, size, atol=2e-3):
         lambda r, x: model.init({"params": r}, x, training=False),
         jax.random.PRNGKey(0), xj)
     variables = convert_torch_state_dict(
-        sd, shapes, adapter=model_adapter(our_name), strict=True)
+        sd, shapes, adapter=model_adapter(our_name),
+        avg_down=model_avg_down(our_name), strict=True)
     jy = np.asarray(model.apply(variables, xj, training=False))
     d = np.abs(jy - ty).max()
     assert d < atol, f"{our_name}: end-to-end logit diff {d:.2e}"
@@ -203,3 +206,21 @@ def test_full_vit_tiny_conversion():
     mod = _import_reference_module("vision_transformer")
     _zoo_net_parity(mod.vit_tiny_patch16_224(), "vit_tiny_patch16_224", 224,
                     atol=5e-4)
+
+
+@pytest.mark.parametrize("mod,name,size", [
+    ("resnet", "seresnet50", 64),
+    ("resnet", "resnext50_32x4d", 64),
+    ("resnest", "resnest50d", 64),
+    ("res2net", "res2net50_26w_4s", 64),
+    ("regnet", "regnetx_002", 64),
+    ("densenet", "densenet121", 64),
+    ("rexnet", "rexnet_100", 64),
+    ("swin_transformer", "swin_tiny_patch4_window7_224", 224),
+])
+def test_full_zoo_conversion(mod, name, size):
+    """Whole-network conversion parity across the backbone zoo: the
+    reference's torch module converts key-for-key (strict) and the logits
+    match end-to-end (per-family adapters in utils/convert.py)."""
+    m = _import_reference_module(mod)
+    _zoo_net_parity(getattr(m, name)(), name, size)
