@@ -43,6 +43,7 @@ class _ConvNorm(fnn.Module):
     norm: str = "gn"          # 'gn' | 'bn' | 'none'
     apply_act: bool = True
     pad_mode: str = "symmetric"  # 'symmetric' | 'same'
+    conv_eps: float = 1e-5
     dtype: Any = None
     axis_name: Optional[str] = None
 
@@ -54,9 +55,13 @@ class _ConvNorm(fnn.Module):
         if self.pad_mode == "same" and self.kernel_size > 1:
             x = pad_same(x, (self.kernel_size,) * 2, (self.stride,) * 2)
             pad = 0
-        conv_cls = StdConv2d if self.std_conv else Conv2d
-        y = conv_cls(self.features, self.kernel_size, self.stride, pad,
-                     groups=self.groups, dtype=self.dtype, name="conv")(x)
+        if self.std_conv:
+            y = StdConv2d(self.features, self.kernel_size, self.stride, pad,
+                          groups=self.groups, eps=self.conv_eps,
+                          dtype=self.dtype, name="conv")(x)
+        else:
+            y = Conv2d(self.features, self.kernel_size, self.stride, pad,
+                       groups=self.groups, dtype=self.dtype, name="conv")(x)
         if self.norm == "gn":
             y = fnn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
                               name="norm")(y)
@@ -78,6 +83,8 @@ class PreActBottleneck(fnn.Module):
     avg_down: bool = False
     std_conv: bool = True
     norm: str = "gn"
+    pad_mode: str = "symmetric"
+    conv_eps: float = 1e-5
     dtype: Any = None
     axis_name: Optional[str] = None
 
@@ -92,7 +99,16 @@ class PreActBottleneck(fnn.Module):
 
     @fnn.compact
     def __call__(self, x, training: bool = False):
-        conv_cls = StdConv2d if self.std_conv else Conv2d
+        def conv(feats, k, stride, pad, name, xin):
+            if self.pad_mode == "same" and k > 1:
+                xin = pad_same(xin, (k, k), (stride, stride))
+                pad = 0
+            if self.std_conv:
+                return StdConv2d(feats, k, stride, pad, eps=self.conv_eps,
+                                 dtype=self.dtype, name=name)(xin)
+            return Conv2d(feats, k, stride, pad, dtype=self.dtype,
+                          name=name)(xin)
+
         in_ch = x.shape[-1]
         y = self._norm(x, "norm1", training)
         if self.stride != 1 or in_ch != self.out_channels:
@@ -100,19 +116,16 @@ class PreActBottleneck(fnn.Module):
             if self.avg_down and self.stride > 1:
                 sc = avg_pool2d(sc, 2, self.stride, ceil_mode=True,
                                 count_include_pad=False)
-            shortcut = conv_cls(self.out_channels, 1,
-                                1 if self.avg_down else self.stride, 0,
-                                dtype=self.dtype, name="downsample")(sc)
+            shortcut = conv(self.out_channels, 1,
+                            1 if self.avg_down else self.stride, 0,
+                            "downsample", sc)
         else:
             shortcut = x
-        y = conv_cls(self.mid_channels, 1, 1, 0, dtype=self.dtype,
-                     name="conv1")(y)
+        y = conv(self.mid_channels, 1, 1, 0, "conv1", y)
         y = self._norm(y, "norm2", training)
-        y = conv_cls(self.mid_channels, 3, self.stride, 1, dtype=self.dtype,
-                     name="conv2")(y)
+        y = conv(self.mid_channels, 3, self.stride, 1, "conv2", y)
         y = self._norm(y, "norm3", training)
-        y = conv_cls(self.out_channels, 1, 1, 0, dtype=self.dtype,
-                     name="conv3")(y)
+        y = conv(self.out_channels, 1, 1, 0, "conv3", y)
         return y + shortcut
 
 
@@ -125,6 +138,8 @@ class Bottleneck(fnn.Module):
     avg_down: bool = False
     std_conv: bool = True
     norm: str = "gn"
+    pad_mode: str = "symmetric"
+    conv_eps: float = 1e-5
     dtype: Any = None
     axis_name: Optional[str] = None
 
@@ -133,7 +148,8 @@ class Bottleneck(fnn.Module):
         relu = get_act_fn("relu")
         in_ch = x.shape[-1]
         kw = dict(std_conv=self.std_conv, norm=self.norm, dtype=self.dtype,
-                  axis_name=self.axis_name)
+                  axis_name=self.axis_name, pad_mode=self.pad_mode,
+                  conv_eps=self.conv_eps)
         if self.stride != 1 or in_ch != self.out_channels:
             sc = x
             if self.avg_down and self.stride > 1:
@@ -165,6 +181,7 @@ class ResNetV2(fnn.Module):
     avg_down: bool = False
     stem_chs: int = 64
     drop_rate: float = 0.0
+    conv_eps: float = 1e-5  # hybrid-ViT backbones use 1e-8 (vth.py:154)
     dtype: Any = None
     axis_name: Optional[str] = None
     features_only: bool = False
@@ -173,12 +190,17 @@ class ResNetV2(fnn.Module):
     def __call__(self, x, training: bool = False):
         wf = self.width_factor
         relu = get_act_fn("relu")
-        conv_cls = StdConv2d if self.std_conv else Conv2d
+        if self.std_conv:
+            def conv_cls(*a, **kw):
+                return StdConv2d(*a, eps=self.conv_eps, **kw)
+        else:
+            conv_cls = Conv2d
         deep = self.stem_type in ("deep", "tiered")
         stem_out = self.stem_chs * wf
         pad_mode = "same" if "same" in self.stem_type else "symmetric"
         nkw = dict(std_conv=self.std_conv, norm=self.norm, dtype=self.dtype,
-                   axis_name=self.axis_name, pad_mode=pad_mode)
+                   axis_name=self.axis_name, pad_mode=pad_mode,
+                   conv_eps=self.conv_eps)
 
         if deep:
             if self.stem_type == "tiered":
@@ -225,7 +247,8 @@ class ResNetV2(fnn.Module):
                     out_channels=ch * wf, mid_channels=ch * wf // 4,
                     stride=2 if (bi == 0 and si > 0) else 1,
                     avg_down=self.avg_down, std_conv=self.std_conv,
-                    norm=self.norm, dtype=self.dtype,
+                    norm=self.norm, pad_mode=pad_mode,
+                    conv_eps=self.conv_eps, dtype=self.dtype,
                     axis_name=self.axis_name,
                     name=f"stage{si + 1}_block{bi + 1}")(x, training)
             feats.append(x)

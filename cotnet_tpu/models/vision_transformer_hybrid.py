@@ -32,8 +32,8 @@ class _R50Stem(fnn.Module):
     @fnn.compact
     def __call__(self, x, training: bool = False):
         x = _ConvNorm(64, 7, 2, std_conv=True, norm="gn", pad_mode="same",
-                      dtype=self.dtype, axis_name=self.axis_name,
-                      name="stem_c")(x, training)
+                      conv_eps=1e-8, dtype=self.dtype,
+                      axis_name=self.axis_name, name="stem_c")(x, training)
         return max_pool2d_same(x, 3, 2)
 
 
@@ -43,7 +43,7 @@ def _r_backbone(layers, dtype=None):
         return _R50Stem(dtype=dtype, name="backbone")
     return ResNetV2(layers=layers, stem_type="same", preact=False,
                     std_conv=True, norm="gn", features_only=True,
-                    dtype=dtype, name="backbone")
+                    conv_eps=1e-8, dtype=dtype, name="backbone")
 
 
 def _d_backbone(layers, out_stage, dtype=None):

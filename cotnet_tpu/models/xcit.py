@@ -197,26 +197,29 @@ class XCiT(fnn.Module):
             g2 = self.param(f"ca_gamma2_{i}",
                             fnn.initializers.constant(self.eta), (d,),
                             jnp.float32)
+            # faithful to reference ClassAttentionBlock.forward
+            # (xcit.py:236-253): the attn residual adds the *normed* patch
+            # tokens scaled by gamma1, and the final residual doubles the
+            # patch tokens (x_res + x with x[:,1:] == x_res[:,1:]) — both
+            # quirks feed the next block's attention, so keep them.
             y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                               name=f"ca_norm{i}")(tokens)
             a = ClassAttn(self.num_heads, dtype=self.dtype,
                           name=f"cls_attn_{i}")(y, training)
-            tokens = jnp.concatenate(
-                [tokens[:, :1] + g1.astype(a.dtype) * a, tokens[:, 1:]],
-                axis=1)
+            x_attn = jnp.concatenate([a, y[:, 1:]], axis=1)
+            tokens = tokens + g1.astype(a.dtype) * x_attn
             if self.tokens_norm:
-                y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                                  name=f"ca_norm_mlp{i}")(tokens)
+                tokens = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                       name=f"ca_norm_mlp{i}")(tokens)
             else:
-                y = jnp.concatenate(
+                tokens = jnp.concatenate(
                     [fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                    name=f"ca_norm_mlp{i}")(tokens[:, :1]),
                      tokens[:, 1:]], axis=1)
             m = Mlp(int(self.embed_dim * 4), dtype=self.dtype,
-                    name=f"ca_mlp{i}")(y[:, :1], training)
-            tokens = jnp.concatenate(
-                [tokens[:, :1] + g2.astype(m.dtype) * m, tokens[:, 1:]],
-                axis=1)
+                    name=f"ca_mlp{i}")(tokens[:, :1], training)
+            tokens = tokens + jnp.concatenate(
+                [g2.astype(m.dtype) * m, tokens[:, 1:]], axis=1)
         out = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                             name="norm")(tokens[:, 0])
         if self.num_classes > 0:

@@ -43,7 +43,10 @@ _ACT_FNS = {
     "elu": jax.nn.elu,
     "celu": jax.nn.celu,
     "selu": jax.nn.selu,
-    "gelu": jax.nn.gelu,
+    # exact erf form: torch nn.GELU default (jax.nn.gelu defaults to the
+    # tanh approximation, which diverges from the reference by ~3e-4/act)
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_tanh": jax.nn.gelu,
     "sigmoid": jax.nn.sigmoid,
     "tanh": jnp.tanh,
     "swish": swish,

@@ -123,7 +123,7 @@ class StdConv2d(fnn.Module):
     dilation: int = 1
     groups: int = 1
     use_bias: bool = False
-    eps: float = 1e-6
+    eps: float = 1e-5
     dtype: Optional[Dtype] = None
 
     @fnn.compact
@@ -141,7 +141,9 @@ class StdConv2d(fnn.Module):
             (*ks, in_feats, self.features), jnp.float32)
         mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
         var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True)
-        kernel = (kernel - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps))
+        # reference std_conv.py:31: (w - mean) / (std + eps), biased std —
+        # NOT /sqrt(var + eps); the two differ by ~0.1% at init-scale var
+        kernel = (kernel - mean) * jnp.reciprocal(jnp.sqrt(var) + self.eps)
         bias = (self.param("bias", fnn.initializers.zeros, (self.features,),
                            jnp.float32) if self.use_bias else None)
         dtype = self.dtype or x.dtype

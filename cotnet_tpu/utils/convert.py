@@ -96,6 +96,83 @@ def _rexnet_infer(sd, adapter):
     return {**adapter, "name_map": nm}
 
 
+def _tnt_fuse_qkv(sd):
+    """TNT's Attention keeps qk fused and v separate (reference tnt.py:55-56);
+    ours is one fused qkv Dense.  Synthesize the fused weight rows [q; k; v]
+    (qkv_bias=False throughout TNT, so only weights)."""
+    sd = dict(sd)
+    for k in list(sd):
+        m = re.match(r"(.*\.attn_(?:in|out))\.qk\.weight$", k)
+        if m:
+            base = m.group(1)
+            sd[f"{base}.qkv.weight"] = np.concatenate(
+                [np.asarray(sd[k]), np.asarray(sd[f"{base}.v.weight"])], 0)
+    return sd
+
+
+def _levit_infer(sd, adapter):
+    """LeViT's reference stores stages as one flat nn.Sequential of
+    Residual-wrapped modules (reference levit.py:454-490); reconstruct the
+    flat index for our (stage, block) naming by classifying each entry:
+    AttentionSubsample carries bare ``kv.``, Residual(Attention) carries
+    ``.m.qkv``, Residual(Sequential mlp) carries ``.m.0.``."""
+    idxs = sorted({int(m.group(1)) for k in sd
+                   for m in [re.match(r"blocks\.(\d+)\.", k)] if m})
+    kind = {}
+    for i in idxs:
+        pre = f"blocks.{i}."
+        keys = [k for k in sd if k.startswith(pre)]
+        if any(".m.qkv." in k for k in keys):
+            kind[i] = "attn"
+        elif any(k.startswith(pre + "kv.") for k in keys):
+            kind[i] = "sub"
+        else:
+            kind[i] = "mlp"
+    nm = dict(adapter.get("name_map", {}))
+    si = bi = 0
+    prev = None
+    for i in idxs:
+        k = kind[i]
+        if k == "attn":
+            nm[f"attn_{si}_{bi}"] = f"blocks.{i}.m"
+        elif k == "sub":
+            nm[f"downsample_{si}"] = f"blocks.{i}"
+        elif prev == "sub":
+            nm[f"ds_mlp_{si}"] = f"blocks.{i}.m"
+            si += 1
+            bi = 0
+        else:
+            nm[f"mlp_{si}_{bi}"] = f"blocks.{i}.m"
+            bi += 1
+        prev = k
+    return {**adapter, "name_map": nm}
+
+
+def _xception_infer(sd, adapter):
+    """Xception blocks store [relu?, SeparableConv2d, BN, ...] in one
+    ``rep`` Sequential whose indices shift with the leading-relu choice
+    (reference xception.py Block); locate each SeparableConv2d by its
+    ``conv1.weight`` key and map our sep{k} (dw/pw/bn) onto it."""
+    rules = list(adapter.get("post_regex_map", ()))
+    blocks = sorted({m.group(1) for k in sd
+                     for m in [re.match(r"(block\d+)\.", k)] if m},
+                    key=lambda s: int(s[5:]))
+    for b in blocks:
+        seps = sorted({int(m.group(1)) for k in sd
+                       for m in [re.match(rf"{b}\.rep\.(\d+)\.conv1\.weight$",
+                                          k)] if m})
+        for k_i, p in enumerate(seps):
+            rules += [(rf"^{b}\.sep{k_i}\.dw$", f"{b}.rep.{p}.conv1"),
+                      (rf"^{b}\.sep{k_i}\.pw$", f"{b}.rep.{p}.pointwise"),
+                      (rf"^{b}\.sep{k_i}\.bn$", f"{b}.rep.{p + 1}")]
+    return {**adapter, "post_regex_map": rules}
+
+
+def _stage_block_renumber(m):
+    """our 1-based stage{S}_block{B} -> torch 0-based stages.{s}.blocks.{b}"""
+    return f"stages.{int(m.group(1)) - 1}.blocks.{int(m.group(2)) - 1}"
+
+
 def _swin_merge_perm(val: np.ndarray) -> np.ndarray:
     """PatchMerging channel-group reorder.  Torch concats (x0,x1,x2,x3) =
     ((even,even),(odd,even),(even,odd),(odd,odd)); our reshape produces
@@ -124,6 +201,144 @@ FAMILY_ADAPTERS = {
         value_regex_map=[
             (r"merge_(norm|reduction)\d+/(scale|bias|kernel)$",
              _swin_merge_perm)]),
+    "tnt": dict(
+        name_map={"pixel_embed": "pixel_embed.proj", "proj_embed": "proj"},
+        value_regex_map=[
+            # reference pixel_pos is (1, C, ph, pw); ours is token-major
+            # (1, ph*pw, C)
+            (r"^pixel_pos$", lambda v: np.transpose(v, (0, 2, 3, 1)).reshape(
+                1, -1, v.shape[1]))],
+        prepare_sd=_tnt_fuse_qkv),
+    "twins": dict(
+        name_map={"sr_norm": "norm"},
+        regex_map=[(r"^patch_embed(\d+)$", r"patch_embeds.\1.proj"),
+                   (r"^embed_norm(\d+)$", r"patch_embeds.\1.norm"),
+                   # PEG PosConv wraps its dw-conv in Sequential(proj)
+                   (r"^pos_block(\d+)$", r"pos_block.\1.proj.0")]),
+    "psresnet": dict(
+        # PSConv's masked dense conv is a raw HWIO param on our side
+        # (models/psresnet.py conv_kernel); torch stores it at .conv.weight
+        leaf_regex_map=[(r"^conv_kernel$", "conv.weight")],
+        value_regex_map=[(r"conv_kernel$",
+                          lambda v: np.transpose(v, (2, 3, 1, 0)))]),
+    "sknet": dict(
+        # SelectiveKernelConv: our flat fc_reduce/bn/fc_select live under
+        # torch's nested .attn; our per-path convs under .paths
+        pair_map={("conv1", "fc_reduce"): "conv1.attn.fc_reduce",
+                  ("conv1", "bn"): "conv1.attn.bn",
+                  ("conv1", "fc_select"): "conv1.attn.fc_select",
+                  ("conv2", "fc_reduce"): "conv2.attn.fc_reduce",
+                  ("conv2", "bn"): "conv2.attn.bn",
+                  ("conv2", "fc_select"): "conv2.attn.fc_select"},
+        regex_map=[(r"^path_(\d+)$", r"paths.\1")],
+        # timm sknet wraps plain convs in ConvBnAct (conv{i}.conv/.bn);
+        # terminal conv{i}/bn{i} only occur for those (SK convs nest deeper)
+        post_regex_map=[(r"(layer\d+\.\d+\.)conv(\d)$", r"\1conv\2.conv"),
+                        (r"(layer\d+\.\d+\.)bn(\d)$", r"\1conv\2.bn")]),
+    "resnetv2": dict(
+        name_map={"stem_conv": "stem.conv", "fc": "head.fc"},
+        pair_map={("c1", "conv"): "conv1", ("c1", "norm"): "norm1",
+                  ("c2", "conv"): "conv2", ("c2", "norm"): "norm2",
+                  ("c3", "conv"): "conv3", ("c3", "norm"): "norm3",
+                  ("stem_c", "conv"): "stem.conv",
+                  ("stem_c", "norm"): "stem.norm",
+                  ("downsample", "conv"): "downsample.conv",
+                  ("downsample", "norm"): "downsample.norm"},
+        regex_map=[(r"^stage(\d+)_block(\d+)$", _stage_block_renumber)],
+        post_regex_map=[(r"downsample$", "downsample.conv")]),
+    "vit_hybrid": dict(
+        # HybridEmbed nests the CNN under patch_embed.backbone and projects
+        # with patch_embed.proj (reference vision_transformer_hybrid.py:100-142)
+        name_map={"backbone": "patch_embed.backbone",
+                  "patch_embed": "patch_embed.proj"},
+        pair_map={("c1", "conv"): "conv1", ("c1", "norm"): "norm1",
+                  ("c2", "conv"): "conv2", ("c2", "norm"): "norm2",
+                  ("c3", "conv"): "conv3", ("c3", "norm"): "norm3",
+                  ("stem_c", "conv"): "stem.conv",
+                  ("stem_c", "norm"): "stem.norm",
+                  ("downsample", "conv"): "downsample.conv",
+                  ("downsample", "norm"): "downsample.norm"},
+        regex_map=[(r"^stage(\d+)_block(\d+)$", _stage_block_renumber)],
+        post_regex_map=[(r"downsample$", "downsample.conv")],
+        infer=lambda sd, ad: (
+            # stem-only backbone (R+Ti): create_resnetv2_stem flattens to
+            # backbone.conv / backbone.norm with no 'stem.' prefix
+            {**ad, "pair_map": {**ad["pair_map"],
+                                ("stem_c", "conv"): "conv",
+                                ("stem_c", "norm"): "norm"}}
+            if not any(".backbone.stem." in k for k in sd) else ad)),
+    "xception": dict(
+        name_map={"skip_conv": "skip", "skip_bn": "skipbn"},
+        post_regex_map=[(r"^conv3\.dw$", "conv3.conv1"),
+                        (r"^conv3\.pw$", "conv3.pointwise"),
+                        (r"^conv3\.bn$", "bn3"),
+                        (r"^conv4\.dw$", "conv4.conv1"),
+                        (r"^conv4\.pw$", "conv4.pointwise"),
+                        (r"^conv4\.bn$", "bn4")],
+        infer=_xception_infer),
+    "coat": dict(
+        regex_map=[(r"^patch_embed(\d)$", r"patch_embed\1.proj"),
+                   (r"^embed_norm(\d)$", r"patch_embed\1.norm"),
+                   (r"^serial_blocks(\d)_(\d+)$", r"serial_blocks\1.\2"),
+                   (r"^parallel_blocks_(\d+)$", r"parallel_blocks.\1"),
+                   # ConvRelPosEnc per-window dw convs live in a ModuleList
+                   (r"^conv(\d)$", r"conv_list.\1"),
+                   # lite (serial-only) final cls norm: reference always
+                   # names it norm4 (coat.py:440)
+                   (r"^norm$", "norm4")],
+        # ParallelBlock shares one Mlp across scales; torch aliases it as
+        # mlp2/mlp3/mlp4 in the state_dict — fetch the mlp2 copy
+        post_regex_map=[(r"^(parallel_blocks\.\d+)\.mlp\b", r"\1.mlp2")]),
+    "levit": dict(
+        name_map={"linear": "c", "fc1": "0", "fc2": "2",
+                  "proj": "proj.1", "q": "q.1",
+                  "stem0": "patch_embed.0.c", "stem_bn0": "patch_embed.0.bn",
+                  "stem1": "patch_embed.2.c", "stem_bn1": "patch_embed.2.bn",
+                  "stem2": "patch_embed.4.c", "stem_bn2": "patch_embed.4.bn",
+                  "stem3": "patch_embed.6.c", "stem_bn3": "patch_embed.6.bn",
+                  "head_bn": "head.bn", "head": "head.l",
+                  "head_dist": "head_dist.l"},
+        infer=_levit_infer),
+    "visformer": dict(
+        name_map={"stem_conv": "stem.0", "stem_bn": "stem.1"},
+        regex_map=[(r"^patch_embed(\d)$", r"patch_embed\1.proj"),
+                   (r"^embed_norm(\d)$", r"patch_embed\1.norm"),
+                   (r"^stage(\d)_(\d+)$", r"stage\1.\2")],
+        value_regex_map=[
+            # reference pos_embed{1,2,3} are (1, C, H, W); ours NHWC
+            (r"^pos_embed\d$", lambda v: np.transpose(v, (0, 2, 3, 1)))]),
+    "xcit": dict(
+        name_map={"pos_proj": "pos_embed.token_projection"},
+        regex_map=[(r"^patch_conv0$", "patch_embed.proj.0.0"),
+                   (r"^patch_bn0$", "patch_embed.proj.0.1"),
+                   (r"^patch_conv1$", "patch_embed.proj.2.0"),
+                   (r"^patch_bn1$", "patch_embed.proj.2.1"),
+                   (r"^patch_conv2$", "patch_embed.proj.4.0"),
+                   (r"^patch_bn2$", "patch_embed.proj.4.1"),
+                   (r"^patch_conv3$", "patch_embed.proj.6.0"),
+                   (r"^patch_bn3$", "patch_embed.proj.6.1"),
+                   (r"^cls_attn_(\d+)$", r"cls_attn_blocks.\1.attn"),
+                   (r"^ca_norm(\d+)$", r"cls_attn_blocks.\1.norm1"),
+                   (r"^ca_norm_mlp(\d+)$", r"cls_attn_blocks.\1.norm2"),
+                   (r"^ca_mlp(\d+)$", r"cls_attn_blocks.\1.mlp")],
+        # class-attention LayerScale gammas live at our top level
+        leaf_regex_map=[(r"^ca_gamma([12])_(\d+)$",
+                         r"cls_attn_blocks.\2.gamma\1")]),
+    "cait": dict(
+        name_map=dict(_VIT_RENAMES),
+        regex_map=[(r"^blocks_token_only_(\d+)$", r"blocks_token_only.\1")]),
+    "pit": dict(
+        name_map={"patch_embed": "patch_embed.conv"},
+        regex_map=[(r"^transformers_(\d+)_blocks_(\d+)$",
+                    r"transformers.\1.blocks.\2"),
+                   # our pool{s} opens stage s; the reference's
+                   # ConvHeadPooling closes stage s-1
+                   (r"^pool1_(conv|fc)$", r"transformers.0.pool.\1"),
+                   (r"^pool2_(conv|fc)$", r"transformers.1.pool.\1"),
+                   (r"^pool3_(conv|fc)$", r"transformers.2.pool.\1")],
+        value_regex_map=[
+            # reference pos_embed is (1, C, H, W); ours is NHWC
+            (r"^pos_embed$", lambda v: np.transpose(v, (0, 2, 3, 1)))]),
     "res2net": dict(
         regex_map=[(r"^bns_(\d+)$", r"bns.\1"),
                    (r"^convs_(\d+)$", r"convs.\1")]),
@@ -191,6 +406,12 @@ def _to_torch_key(parts, avg_down: bool, adapter=None) -> Optional[str]:
         elif p == "head" and i + 1 < n:
             pass  # chassis ClassifierHead nesting: head/fc -> fc
         elif p == "downsample":
+            if i + 1 >= n:
+                # bare conv module (resnetv2 preact DownsampleConv); the
+                # adapter's post rules place it (e.g. downsample.conv)
+                out.append("downsample")
+                i += 1
+                continue
             nxt = parts[i + 1]
             idx = {"conv": 1, "bn": 2} if avg_down else {"conv": 0, "bn": 1}
             out.append(f"downsample.{idx[nxt]}")
@@ -203,7 +424,10 @@ def _to_torch_key(parts, avg_down: bool, adapter=None) -> Optional[str]:
         else:
             out.append(p)
         i += 1
-    return ".".join(out)
+    joined = ".".join(out)
+    for pat, repl in adapter.get("post_regex_map", ()):
+        joined = re.sub(pat, repl, joined)
+    return joined
 
 
 def convert_torch_state_dict(
@@ -232,6 +456,8 @@ def convert_torch_state_dict(
         missing.append(tkey)
         return None
 
+    if adapter and "prepare_sd" in adapter:
+        sd = adapter["prepare_sd"](sd)
     if adapter and "infer" in adapter:
         adapter = adapter["infer"](sd, adapter)
     value_rules = [(re.compile(pat), fn) for pat, fn in
@@ -265,6 +491,9 @@ def convert_torch_state_dict(
                 val = np.transpose(w, (2, 3, 1, 0))
                 if is_embed_producer:
                     val = val[..., _kmajor_perm(val.shape[-1], k2, dw_group)]
+            elif w.ndim == 3 and len(ref.shape) == 2:
+                # kernel-size-1 conv1d used as linear (coat aggregate)
+                val = w[:, :, 0].T
             elif w.ndim == 3:  # eca conv1d [1,1,k] -> [k,1,1]
                 val = np.transpose(w, (2, 1, 0))
             else:  # linear
@@ -282,7 +511,13 @@ def convert_torch_state_dict(
         else:
             # direct nn.Parameter (pos_h/pos_w, rel_emb_*, gating, gamma_*,
             # embeddings, cls_token, ...): copy verbatim
-            tkey = f"{tmod}.{leaf}" if tmod else leaf
+            lk = leaf
+            for pat, repl in (adapter or {}).get("leaf_regex_map", ()):
+                new, nsub = re.subn(pat, repl, lk)
+                if nsub:
+                    lk = new
+                    break
+            tkey = f"{tmod}.{lk}" if tmod else lk
             val = fetch(tkey)
             if val is None:
                 continue
@@ -374,7 +609,13 @@ def model_adapter(model_name: str) -> Optional[dict]:
         return FAMILY_ADAPTERS["vit"]
     for mod, key in (("swin_transformer", "swin"), ("res2net", "res2net"),
                      ("regnet", "regnet"), ("densenet", "densenet"),
-                     ("rexnet", "rexnet")):
+                     ("rexnet", "rexnet"), ("cait", "cait"), ("pit", "pit"),
+                     ("xcit", "xcit"), ("convit", "vit"), ("tnt", "tnt"),
+                     ("twins", "twins"), ("visformer", "visformer"),
+                     ("levit", "levit"), ("coat", "coat"), ("sknet", "sknet"),
+                     ("resnetv2", "resnetv2"), ("xception", "xception"),
+                     ("vision_transformer_hybrid", "vit_hybrid"),
+                     ("psresnet", "psresnet")):
         if model_name and is_model_in_modules(model_name, [mod]):
             return FAMILY_ADAPTERS[key]
     return None
