@@ -215,6 +215,22 @@ FAMILY_ADAPTERS = {
                    (r"^embed_norm(\d+)$", r"patch_embeds.\1.norm"),
                    # PEG PosConv wraps its dw-conv in Sequential(proj)
                    (r"^pos_block(\d+)$", r"pos_block.\1.proj.0")]),
+    "botnet": dict(
+        # MHSA/plain-conv conv2 is a Sequential [module, bn, act]
+        # (reference botnet.py:225-245); GroupPointWise stores its projection
+        # as a raw .w parameter
+        name_map={"mhsa": "conv2.0", "conv2": "conv2.0", "bn2": "conv2.1"},
+        leaf_regex_map=[(r"^([qkv]_proj)$", r"\1.w")]),
+    "lambdanet": dict(
+        name_map={"to_q": "to_q.0", "bn_q": "to_q.1",
+                  "to_v": "to_v.0", "bn_v": "to_v.1"},
+        value_regex_map=[
+            # reference embeddings are (dim_k, 1, 1, r, r) for conv3d
+            (r"embeddings$", lambda v: v.reshape(v.shape[0], *v.shape[-2:]))]),
+    "resnet_dw": dict(
+        # conv2 Sequential: [pw, bn, act, dw] (reference resnet_dw.py:58-64)
+        name_map={"conv2_pw": "conv2.0", "conv2_bn": "conv2.1",
+                  "conv2_dw": "conv2.3"}),
     "psresnet": dict(
         # PSConv's masked dense conv is a raw HWIO param on our side
         # (models/psresnet.py conv_kernel); torch stores it at .conv.weight
@@ -615,7 +631,8 @@ def model_adapter(model_name: str) -> Optional[dict]:
                      ("levit", "levit"), ("coat", "coat"), ("sknet", "sknet"),
                      ("resnetv2", "resnetv2"), ("xception", "xception"),
                      ("vision_transformer_hybrid", "vit_hybrid"),
-                     ("psresnet", "psresnet")):
+                     ("psresnet", "psresnet"), ("botnet", "botnet"),
+                     ("lambda_net", "lambdanet"), ("resnet_dw", "resnet_dw")):
         if model_name and is_model_in_modules(model_name, [mod]):
             return FAMILY_ADAPTERS[key]
     return None

@@ -73,6 +73,25 @@ def _import_reference_cotnet():
     cupy_pkg.aggregation_zeropad = agg
     sys.modules["cupy_layers"] = cupy_pkg
     sys.modules["cupy_layers.aggregation_zeropad"] = agg
+    # botnet/lr_net also import the mix/merge/dilate kernel wrappers at
+    # module level; the tested entrypoints never call them, so stubs suffice
+    for _nm, _cls in (("aggregation_zeropad_mix", "LocalConvolutionMix"),
+                      ("aggregation_zeropad_mix_merge",
+                       "LocalConvolutionMixMerge"),
+                      ("aggregation_zeropad_dilate",
+                       "LocalConvolutionDilate")):
+        _m = types.ModuleType(f"cupy_layers.{_nm}")
+
+        class _Stub(torch.nn.Module):
+            def __init__(self, *a, **kw):
+                super().__init__()
+
+            def forward(self, *a, **kw):
+                raise NotImplementedError
+
+        setattr(_m, _cls, _Stub)
+        setattr(cupy_pkg, _nm, _m)
+        sys.modules[f"cupy_layers.{_nm}"] = _m
     if "models" not in sys.modules:
         pkg = types.ModuleType("models")
         pkg.__path__ = [os.path.join(REF, "models")]
@@ -275,6 +294,9 @@ def test_full_vit_tiny_conversion():
     ("vision_transformer", "deit_tiny_distilled_patch16_224", 224),
     ("vision_transformer_hybrid", "vit_tiny_r_s16_p8_224", 224),
     ("vision_transformer_hybrid", "vit_small_r26_s32_224", 224),
+    ("resnet_dw", "resnet50_dw", 64),
+    ("lambdAnet", "lambdanet50", 128),
+    ("botnet", "BoTNetS1_59", 256),
 ])
 def test_full_zoo_conversion(mod, name, size):
     """Whole-network conversion parity across the backbone zoo: the
