@@ -169,6 +169,31 @@ import os as _os
 
 STRIP_DISPATCH = _os.environ.get("COTNET_AGG_STRIPS", "0") == "1"
 
+# Whole-image grouped-accumulation kernels for the stage-1 shape: the strip
+# kernels' inner structure (taps accumulated in GROUP-sized SSA chains with a
+# scratch RMW between groups, capping live fp32 temporaries) but one grid
+# step per image — no strip-boundary DMA granularity, no per-strip weight
+# conversion, no halo overlap reads.  Experimental: off by default until
+# measured faster than XLA on chip (flip via COTNET_AGG_WLOOP=1).
+WLOOP_DISPATCH = _os.environ.get("COTNET_AGG_WLOOP", "0") == "1"
+_WLOOP_GROUP = 2
+_WLOOP_BUDGET_BYTES = 16 * 1024 * 1024
+
+
+def _wloop_working_set(x_shape, w_shape, itemsize, padding) -> int:
+    n, hi, wi, c = x_shape
+    _, ho, wo, heads, k2, cw = w_shape
+    hp, wp = hi + 2 * padding[0], wi + 2 * padding[1]
+    f = heads * k2 * cw
+    bufs = (_tiled_bytes((1, hi, wi, c), itemsize)
+            + _tiled_bytes((1, ho, wo, f), itemsize)
+            + _tiled_bytes((1, ho, wo, heads * c), itemsize))
+    live = _WLOOP_GROUP + 2   # group taps + partial + broadcast temp
+    scratch = (_tiled_bytes((1, hp, wp, c), 4)            # f32 padded copy
+               + _tiled_bytes((1, ho, wo, c), 4)          # accumulator
+               + live * _tiled_bytes((1, ho, wo, c), 4))
+    return 2 * bufs + scratch
+
 
 def strip_plan(x_shape, w_shape, itemsize, padding=(0, 0)):
     """Pick a strip size S for the halo-tiled kernels, or None.
@@ -193,11 +218,17 @@ def strip_plan(x_shape, w_shape, itemsize, padding=(0, 0)):
 
 
 def pallas_plan(x_shape, w_shape, itemsize, padding=(0, 0)):
-    """('whole', m) | ('strip', S) | None — which kernel flavor handles the
-    shape within the VMEM budget."""
+    """('whole', m) | ('wloop', group) | ('strip', S) | None — which kernel
+    flavor handles the shape within the VMEM budget."""
     if fits_vmem(x_shape, w_shape, itemsize, padding):
         return ("whole", _pick_batch_block(x_shape, w_shape, itemsize,
                                            padding))
+    n, hi, wi, c = x_shape
+    _, ho, wo, _, _, _ = w_shape
+    if (WLOOP_DISPATCH and ho == hi and wo == wi
+            and _wloop_working_set(x_shape, w_shape, itemsize, padding)
+            <= _WLOOP_BUDGET_BYTES):
+        return ("wloop", _WLOOP_GROUP)
     # strip kernels need ho==hi (then 2*pad == dilated span, which also
     # makes the dx gather form's padded indices provably in range)
     s = strip_plan(x_shape, w_shape, itemsize, padding)
@@ -287,6 +318,63 @@ def _dw_kernel(x_ref, dy_ref, dw_ref, xp_ref, *, kh, kw, dh, dw, heads, g,
                 for gi in range(1, g):
                     acc = acc + t[:, :, :, gi * cw:(gi + 1) * cw]
                 dw_ref[:, :, :, k * cw:(k + 1) * cw] = acc.astype(out_dtype)
+
+
+def _fwd_wloop_kernel(x_ref, w_ref, out_ref, xp_ref, acc_ref, *, group, kh,
+                      kw, dh, dw, heads, g, cw, ho, wo, c, ph, pw, hi, wi):
+    """Whole-image grouped-accumulation forward for the one map too big for
+    the SSA-chain kernel (stage 1, 56x56): taps run in ``group``-sized SSA
+    chains with a scratch read-modify-write between chains, so peak live
+    fp32 temporaries ~= group instead of K^2 (cf. _fwd_kernel's note: the
+    full chain needs 30.6 MB scoped VMEM at this shape)."""
+    out_dtype = out_ref.dtype
+    if ph == 0 and pw == 0:
+        xp_ref[...] = x_ref[...].astype(jnp.float32)
+    else:
+        xp_ref[...] = jnp.zeros_like(xp_ref)
+        xp_ref[:, ph:ph + hi, pw:pw + wi, :] = x_ref[...].astype(jnp.float32)
+    for head in range(heads):
+        taps = [(ikh, ikw) for ikh in range(kh) for ikw in range(kw)]
+        for t0 in range(0, len(taps), group):
+            part = None
+            for ikh, ikw in taps[t0:t0 + group]:
+                k = head * kh * kw + ikh * kw + ikw
+                xs = xp_ref[:, ikh * dh:ikh * dh + ho,
+                            ikw * dw:ikw * dw + wo, :]
+                wk = w_ref[:, :, :, k * cw:(k + 1) * cw].astype(jnp.float32)
+                tap = xs * _tile_lanes(wk, g)
+                part = tap if part is None else part + tap
+            if t0 == 0:
+                acc_ref[...] = part
+            else:
+                acc_ref[...] = acc_ref[...] + part
+        out_ref[:, :, :, head * c:(head + 1) * c] = (
+            acc_ref[...].astype(out_dtype))
+
+
+def _dw_wloop_kernel(x_ref, dy_ref, dwf_ref, xp_ref, *, group, kh, kw, dh,
+                     dw, heads, g, cw, ho, wo, c, ph, pw, hi, wi):
+    """Whole-image weight-grad for the stage-1 shape: per-tap group
+    reduction written straight into the flat k-major layout (no cross-tap
+    accumulation, so VMEM pressure is per-tap only)."""
+    if ph == 0 and pw == 0:
+        xp_ref[...] = x_ref[...].astype(jnp.float32)
+    else:
+        xp_ref[...] = jnp.zeros_like(xp_ref)
+        xp_ref[:, ph:ph + hi, pw:pw + wi, :] = x_ref[...].astype(jnp.float32)
+    out_dtype = dwf_ref.dtype
+    for head in range(heads):
+        dys = dy_ref[:, :, :, head * c:(head + 1) * c].astype(jnp.float32)
+        for ikh in range(kh):
+            for ikw in range(kw):
+                k = head * kh * kw + ikh * kw + ikw
+                xs = xp_ref[:, ikh * dh:ikh * dh + ho,
+                            ikw * dw:ikw * dw + wo, :]
+                t = xs * dys
+                acc = t[:, :, :, 0:cw]
+                for gi in range(1, g):
+                    acc = acc + t[:, :, :, gi * cw:(gi + 1) * cw]
+                dwf_ref[:, :, :, k * cw:(k + 1) * cw] = acc.astype(out_dtype)
 
 
 def _fwd_strip_kernel(x_ref, w_ref, out_ref, xp_ref, acc_ref, *, s, kh, kw,
@@ -412,6 +500,22 @@ def _agg_fwd_impl(x, w, kernel_size, dilation, padding):
     wf = _flat_weight(w)
     plan = pallas_plan(x.shape, w.shape, x.dtype.itemsize, padding)
     assert plan is not None, "caller must gate on pallas_plan"
+    if plan[0] == "wloop":
+        return pl.pallas_call(
+            functools.partial(_fwd_wloop_kernel, group=plan[1], **geo),
+            grid=(n,),
+            in_specs=[_block(x.shape), _block(wf.shape)],
+            out_specs=_block((n, ho, wo, heads * c)),
+            out_shape=jax.ShapeDtypeStruct((n, ho, wo, heads * c), x.dtype),
+            scratch_shapes=[pltpu.VMEM((1, hp, wp, c), jnp.float32),
+                            pltpu.VMEM((1, ho, wo, c), jnp.float32)],
+            interpret=_use_interpret(),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n * ho * wo * heads * geo["kh"] * geo["kw"] * c,
+                bytes_accessed=(x.size + wf.size + n * ho * wo * heads * c)
+                * x.dtype.itemsize,
+                transcendentals=0),
+        )(x, wf)
     if plan[0] == "strip":
         s = plan[1]
         return pl.pallas_call(
@@ -470,6 +574,27 @@ def _agg_bwd_rule(kernel_size, dilation, padding, res, dy):
     wf = _flat_weight(w)
     plan = pallas_plan(x.shape, w.shape, x.dtype.itemsize, padding)
     assert plan is not None
+    if plan[0] == "wloop":
+        # dx via the XLA transpose (as with strips: the dx gather form
+        # needs full-res dy/w resident beyond VMEM at this shape)
+        from cotnet_tpu.ops import local_agg as _la
+
+        def _xla_fwd(xx):
+            xxp = jnp.pad(xx, ((0, 0), (geo["ph"], geo["ph"]),
+                               (geo["pw"], geo["pw"]), (0, 0)))
+            return _la._agg_core_xla(xxp, w, kernel_size, (1, 1), dilation)
+
+        dx = jax.vjp(_xla_fwd, x)[1](dy)[0]
+        dwf = pl.pallas_call(
+            functools.partial(_dw_wloop_kernel, group=plan[1], **geo),
+            grid=(n,),
+            in_specs=[_block(x.shape), _block((n, ho, wo, heads * c))],
+            out_specs=_block(wf.shape),
+            out_shape=jax.ShapeDtypeStruct(wf.shape, w.dtype),
+            scratch_shapes=[pltpu.VMEM((1, hp, wp, c), jnp.float32)],
+            interpret=_use_interpret(),
+        )(x, dy)
+        return dx, dwf.reshape(w.shape)
     if plan[0] == "strip":
         s = plan[1]
         f = wf.shape[-1]

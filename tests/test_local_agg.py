@@ -186,3 +186,34 @@ def test_strip_kernels_parity():
             assert rel < 1e-5, rel
     finally:
         lap.STRIP_DISPATCH = old
+
+
+def test_wloop_kernels_parity():
+    """The whole-image grouped-accumulation kernels (interpret mode) vs the
+    XLA oracle — the stage-1 experimental flavor behind COTNET_AGG_WLOOP."""
+    import cotnet_tpu.ops.local_agg_pallas as lap
+
+    old = lap.WLOOP_DISPATCH
+    old_budget = lap._VMEM_BUDGET_BYTES
+    lap.WLOOP_DISPATCH = True
+    # shrink the whole-kernel budget so this shape exercises the wloop path
+    lap._VMEM_BUDGET_BYTES = 1 * 1024 * 1024
+    try:
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 16))
+        w = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1, 9, 2))
+        assert lap.pallas_plan(x.shape, w.shape, 4, (1, 1))[0] == "wloop"
+
+        def f(impl):
+            return lambda x, w: jnp.sum(jnp.sin(local_aggregate(
+                x, w, kernel_size=3, padding=1, impl=impl)))
+
+        ya, yb = f("xla")(x, w), f("pallas")(x, w)
+        assert abs(float(ya - yb)) < 1e-3
+        ga = jax.grad(f("xla"), (0, 1))(x, w)
+        gb = jax.grad(f("pallas"), (0, 1))(x, w)
+        for a, b in zip(ga, gb):
+            rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
+            assert rel < 1e-5, rel
+    finally:
+        lap.WLOOP_DISPATCH = old
+        lap._VMEM_BUDGET_BYTES = old_budget
