@@ -173,8 +173,13 @@ STRIP_DISPATCH = _os.environ.get("COTNET_AGG_STRIPS", "0") == "1"
 # kernels' inner structure (taps accumulated in GROUP-sized SSA chains with a
 # scratch RMW between groups, capping live fp32 temporaries) but one grid
 # step per image — no strip-boundary DMA granularity, no per-strip weight
-# conversion, no halo overlap reads.  Experimental: off by default until
-# measured faster than XLA on chip (flip via COTNET_AGG_WLOOP=1).
+# conversion, no halo overlap reads.  MEASURED on v5e bf16 bs128 at
+# 56x56x64 K3: fwd 4.33 ms / bwd 9.02 ms vs XLA's 2.81 / 6.37 — worse than
+# the strips (3.04 / 7.75): with only 4 chains over the full image the
+# scratch read-modify-write between chains dominates, consistent with the
+# SSA-chain note in _fwd_kernel (a full RMW accumulator measured ~2x
+# slower).  Third data point confirming XLA's fusion wins at stage 1;
+# stays available for future tuning via COTNET_AGG_WLOOP=1.
 WLOOP_DISPATCH = _os.environ.get("COTNET_AGG_WLOOP", "0") == "1"
 _WLOOP_GROUP = 2
 _WLOOP_BUDGET_BYTES = 16 * 1024 * 1024
