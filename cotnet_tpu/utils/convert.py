@@ -168,6 +168,16 @@ def _xception_infer(sd, adapter):
     return {**adapter, "post_regex_map": rules}
 
 
+def _san_wperm(val, path):
+    """san full-rank SAM conv_w producer: torch lays the K^2 weight out
+    cw-major (w.view(b, cw, k2, ...), san_lowrank.py:56-57); ours is
+    k-major.  cw = mid_planes // share_planes, fixed per SAN stage."""
+    m = re.search(r"layer(\d)_", path)
+    cw = (2, 8, 16, 32, 64)[int(m.group(1))]
+    n = val.shape[-1]
+    return val[..., _kmajor_perm(n, n // cw)]
+
+
 def _stage_block_renumber(m):
     """our 1-based stage{S}_block{B} -> torch 0-based stages.{s}.blocks.{b}"""
     return f"stages.{int(m.group(1)) - 1}.blocks.{int(m.group(2)) - 1}"
@@ -215,6 +225,19 @@ FAMILY_ADAPTERS = {
                    (r"^embed_norm(\d+)$", r"patch_embeds.\1.norm"),
                    # PEG PosConv wraps its dw-conv in Sequential(proj)
                    (r"^pos_block(\d+)$", r"pos_block.\1.proj.0")]),
+    "san": dict(
+        # full-rank SAM's conv_w Sequential is [bn, relu, conv, bn, relu,
+        # conv] (san_lowrank.py:40-43); SAM_lowRank's key_embed/conv_w are
+        # [bn, relu, conv] with a 1-entry conv Sequential
+        name_map={"conv_w_bn1": "conv_w.0", "conv_w_conv1": "conv_w.2",
+                  "conv_w_bn2": "conv_w.3", "conv_w_conv2": "conv_w.5",
+                  "key_embed_bn": "key_embed.0",
+                  "key_embed_conv": "key_embed.2",
+                  "conv_w_bn": "conv_w.0", "conv_w_conv": "conv_w.2"},
+        pair_map={("sam", "conv"): "sam.conv.0"},
+        value_regex_map=[
+            # the K^2 weight producer is cw-major in torch, k-major here
+            (r"conv_w_conv2/(kernel|bias)$", _san_wperm)]),
     "botnet": dict(
         # MHSA/plain-conv conv2 is a Sequential [module, bn, act]
         # (reference botnet.py:225-245); GroupPointWise stores its projection
@@ -480,10 +503,14 @@ def convert_torch_state_dict(
                    (adapter or {}).get("value_regex_map", ())]
 
     def apply_value_rules(path, val):
+        import inspect
         joined = "/".join(map(str, path))
         for pat, fn in value_rules:
             if pat.search(joined):
-                val = fn(val)
+                if len(inspect.signature(fn).parameters) >= 2:
+                    val = fn(val, joined)  # path-aware transform
+                else:
+                    val = fn(val)
         return val
 
     flat_p = flatten_dict(flax_variables["params"])
@@ -632,7 +659,8 @@ def model_adapter(model_name: str) -> Optional[dict]:
                      ("resnetv2", "resnetv2"), ("xception", "xception"),
                      ("vision_transformer_hybrid", "vit_hybrid"),
                      ("psresnet", "psresnet"), ("botnet", "botnet"),
-                     ("lambda_net", "lambdanet"), ("resnet_dw", "resnet_dw")):
+                     ("lambda_net", "lambdanet"), ("resnet_dw", "resnet_dw"),
+                     ("san", "san")):
         if model_name and is_model_in_modules(model_name, [mod]):
             return FAMILY_ADAPTERS[key]
     return None

@@ -297,6 +297,7 @@ def test_full_vit_tiny_conversion():
     ("resnet_dw", "resnet50_dw", 64),
     ("lambdAnet", "lambdanet50", 128),
     ("botnet", "BoTNetS1_59", 256),
+    ("san_lowrank", "san19", 128),
 ])
 def test_full_zoo_conversion(mod, name, size):
     """Whole-network conversion parity across the backbone zoo: the
@@ -306,8 +307,11 @@ def test_full_zoo_conversion(mod, name, size):
     fn = getattr(m, name)
     try:
         tm = fn()
-    except TypeError:  # some reference entrypoints take pretrained positionally
-        tm = fn(False)
+    except TypeError:
+        try:  # some reference entrypoints take pretrained positionally
+            tm = fn(False)
+        except TypeError:  # san19's SAN ctor wants in_chans/num_classes
+            tm = fn(in_chans=3, num_classes=1000)
     # visformer/tnt are conversion-exact per-block (~1e-6 diffs entering the
     # late stages), but their deep attention stacks on random weights amplify
     # f32 rounding chaotically; the end-to-end bound is looser for them
