@@ -277,6 +277,7 @@ def test_full_vit_tiny_conversion():
     ("pit", "pit_ti_224", 224),
     ("pit", "pit_ti_distilled_224", 224),
     ("xcit", "xcit_nano_12_p16_224", 224),
+    ("xcit", "xcit_tiny_12_p16_224", 224),  # tokens_norm=True CA branch
     ("convit", "convit_tiny", 224),
     ("tnt", "tnt_s_patch16_224", 224),
     ("twins", "twins_svt_small", 224),
