@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
+from cotnet_tpu.nn.norm import LayerNorm
+
 from cotnet_tpu.models.helpers import (
     build_model_with_cfg, default_cfg, register_variant_table)
 from cotnet_tpu.models.vision_transformer import Mlp
@@ -85,7 +87,7 @@ class LayerScaleBlock(fnn.Module):
                         (d,), jnp.float32)
         g2 = self.param("gamma_2", fnn.initializers.constant(self.init_values),
                         (d,), jnp.float32)
-        y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         if self.class_attn:
             a = ClassAttn(self.num_heads, dtype=self.dtype, name="attn")(
                 y, training)
@@ -100,7 +102,7 @@ class LayerScaleBlock(fnn.Module):
             if self.drop_path_rate > 0:
                 a = DropPath(self.drop_path_rate, name="dp1")(a, training)
             x = x + a
-        y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         if self.class_attn:
             m = Mlp(int(d * self.mlp_ratio), dtype=self.dtype,
                     name="mlp")(y[:, :1], training)
@@ -162,7 +164,7 @@ class Cait(fnn.Module):
                                      class_attn=True, dtype=self.dtype,
                                      name=f"blocks_token_only_{i}")(
                                          tokens, training)
-        out = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+        out = LayerNorm(epsilon=1e-6, dtype=self.dtype,
                             name="norm")(tokens[:, 0])
         if self.num_classes > 0:
             return fnn.Dense(self.num_classes, dtype=self.dtype,

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
+from cotnet_tpu.nn.norm import LayerNorm
+
 from cotnet_tpu.models.helpers import (
     build_model_with_cfg, default_cfg, register_variant_table)
 from cotnet_tpu.models.vision_transformer import Mlp
@@ -126,13 +128,13 @@ class CoatSerialBlock(fnn.Module):
     def __call__(self, x, hw, training: bool = False):
         d = x.shape[-1]
         x = self.cpe(x, hw)
-        y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = FactorAttn(self.num_heads, crpe=self.crpe, dtype=self.dtype,
                        name="factoratt_crpe")(y, hw, training)
         if self.drop_path_rate > 0:
             y = DropPath(self.drop_path_rate, name="dp1")(y, training)
         x = x + y
-        y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")(
             y, training)
         if self.drop_path_rate > 0:
@@ -168,7 +170,7 @@ class CoatParallelBlock(fnn.Module):
         d = x2.shape[-1]
         cur = []
         for i, (x, s) in enumerate(zip((x2, x3, x4), sizes)):
-            y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+            y = LayerNorm(epsilon=1e-6, dtype=self.dtype,
                               name=f"norm1{i + 2}")(x)
             cur.append(FactorAttn(self.num_heads, crpe=self.crpes[i],
                                   dtype=self.dtype,
@@ -186,7 +188,7 @@ class CoatParallelBlock(fnn.Module):
         mlp = Mlp(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")
         outs = []
         for i, x in enumerate((x2, x3, x4)):
-            y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+            y = LayerNorm(epsilon=1e-6, dtype=self.dtype,
                               name=f"norm2{i + 2}")(x)
             outs.append(x + mlp(y, training))
         return tuple(outs)
@@ -225,8 +227,11 @@ class CoaT(fnn.Module):
             x = Conv2d(dim, ps, ps, 0, use_bias=True, dtype=self.dtype,
                        kernel_init=fnn.initializers.lecun_normal(),
                        name=f"patch_embed{si + 1}")(x)
-            x = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                              name=f"embed_norm{si + 1}")(x)
+            # patch-embed norm is a PLAIN nn.LayerNorm in the reference
+            # (coat.py:346) -> torch default eps 1e-5, unlike the block
+            # norms' 1e-6 partial (coat.py:332)
+            x = LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                          name=f"embed_norm{si + 1}")(x)
             gh, gw = x.shape[1], x.shape[2]
             cls = self.param(f"cls_token{si + 1}",
                              fnn.initializers.normal(0.02), (1, 1, dim),
@@ -267,7 +272,7 @@ class CoaT(fnn.Module):
             # aggregate head over the three cls tokens (coat.py:573-581)
             cls_all = []
             for i, t in enumerate((t2, t3, t4)):
-                y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                y = LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                   name=f"norm{i + 2}")(t)
                 cls_all.append(y[:, :1])
             merged = jnp.concatenate(cls_all, axis=1)  # [n, 3, d]
@@ -275,7 +280,7 @@ class CoaT(fnn.Module):
                             name="aggregate")(merged.transpose(0, 2, 1))
             out = agg[..., 0]
         else:
-            out = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(
+            out = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(
                 stage_tokens[-1])[:, 0]
         if self.drop_rate and training:
             out = fnn.Dropout(self.drop_rate, deterministic=False)(out)

@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
+from cotnet_tpu.nn.norm import LayerNorm
+
 from cotnet_tpu.models.helpers import build_model_with_cfg, default_cfg
 from cotnet_tpu.models.registry import register_model
 from cotnet_tpu.models.vision_transformer import Block, Mlp
@@ -87,13 +89,13 @@ class GPSABlock(fnn.Module):
     @fnn.compact
     def __call__(self, x, training: bool = False):
         d = x.shape[-1]
-        y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = GPSA(self.num_heads, self.locality_strength, dtype=self.dtype,
                  name="attn")(y, training)
         if self.drop_path_rate > 0:
             y = DropPath(self.drop_path_rate, name="dp1")(y, training)
         x = x + y
-        y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")(
             y, training)
         if self.drop_path_rate > 0:
@@ -149,7 +151,7 @@ class ConViT(fnn.Module):
                           name=f"blocks_{i}")(x, training)
         if self.features_only:
             return [x[:, 1:].reshape(n, gh, gw, self.embed_dim)]
-        x = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         out = x[:, 0]
         if self.num_classes > 0:
             return fnn.Dense(self.num_classes, dtype=self.dtype,

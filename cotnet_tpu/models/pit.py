@@ -10,6 +10,8 @@ from typing import Any, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as fnn
 
+from cotnet_tpu.nn.norm import LayerNorm
+
 from cotnet_tpu.models.helpers import (
     build_model_with_cfg, default_cfg, register_variant_table)
 from cotnet_tpu.models.vision_transformer import Block
@@ -79,7 +81,7 @@ class PoolingTransformer(fnn.Module):
             feats.append(x)
         if self.features_only:
             return feats
-        cls_tok = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+        cls_tok = LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                 name="norm")(cls_tok)
         cls_out = cls_tok[:, 0]
         if self.num_classes > 0:

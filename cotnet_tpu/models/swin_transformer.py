@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
+from cotnet_tpu.nn.norm import LayerNorm
+
 from cotnet_tpu.models.helpers import (
     build_model_with_cfg, default_cfg, register_variant_table)
 from cotnet_tpu.models.vision_transformer import Mlp
@@ -87,7 +89,7 @@ class SwinBlock(fnn.Module):
         n, h, w, c = x.shape
         ws = min(self.window_size, h, w)
         shift = self.shift if ws < min(h, w) else 0
-        y = fnn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        y = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
             # attention mask across the wrapped boundaries
@@ -111,7 +113,7 @@ class SwinBlock(fnn.Module):
         if self.drop_path_rate > 0:
             y = DropPath(self.drop_path_rate, name="drop_path1")(y, training)
         x = x + y
-        y = fnn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(c * self.mlp_ratio), dtype=self.dtype,
                 name="mlp")(y.reshape(n, h * w, c), training).reshape(
                     n, h, w, c)
@@ -142,7 +144,7 @@ class SwinTransformer(fnn.Module):
                    kernel_init=fnn.initializers.lecun_normal(),
                    name="patch_embed")(x)
         n, h, w, c = x.shape
-        x = fnn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+        x = LayerNorm(epsilon=1e-5, dtype=self.dtype,
                           name="patch_norm")(x)
 
         total = sum(self.depths)
@@ -158,7 +160,7 @@ class SwinTransformer(fnn.Module):
                 # channel order (x0, x1, x2, x3) = (even/even, odd/even,
                 # even/odd, odd/odd) in torch; here (h2, w2) raster — the
                 # converter permutes the reduction matrix accordingly
-                x = fnn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                x = LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                   name=f"merge_norm{si}")(x)
                 x = fnn.Dense(dim, use_bias=False, dtype=self.dtype,
                               name=f"merge_reduction{si}")(x)
@@ -173,7 +175,7 @@ class SwinTransformer(fnn.Module):
             feats.append(x)
         if self.features_only:
             return feats
-        x = fnn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = jnp.mean(x, axis=(1, 2))
         if self.drop_rate and training:
             x = fnn.Dropout(self.drop_rate, deterministic=False)(x)

@@ -9,6 +9,8 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as fnn
 
+from cotnet_tpu.nn.norm import LayerNorm
+
 from cotnet_tpu.models.helpers import build_model_with_cfg, default_cfg
 from cotnet_tpu.models.registry import register_model
 from cotnet_tpu.models.vision_transformer import Attention, Mlp
@@ -37,13 +39,13 @@ class TNTBlock(fnn.Module):
     def __call__(self, patch_tokens, pixel_tokens, training: bool = False):
         # inner transformer on pixel tokens [N*L, P, c_in]
         c_in = pixel_tokens.shape[-1]
-        y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+        y = LayerNorm(epsilon=1e-5, dtype=self.dtype,
                           name="norm_in")(pixel_tokens)
         # qkv_bias=False throughout TNT (reference tnt.py:47-56, :153)
         y = Attention(self.inner_heads, qkv_bias=False, dtype=self.dtype,
                       name="attn_in")(y, training)
         pixel_tokens = pixel_tokens + y
-        y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+        y = LayerNorm(epsilon=1e-5, dtype=self.dtype,
                           name="norm_mlp_in")(pixel_tokens)
         y = Mlp(int(c_in * self.mlp_ratio), dtype=self.dtype,
                 name="mlp_in")(y, training)
@@ -53,7 +55,7 @@ class TNTBlock(fnn.Module):
         n_l, p, _ = pixel_tokens.shape
         d = patch_tokens.shape[-1]
         nl = patch_tokens.shape[1] - 1  # minus cls
-        proj = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+        proj = LayerNorm(epsilon=1e-5, dtype=self.dtype,
                              name="norm1_proj")(pixel_tokens)
         proj = proj.reshape(-1, nl, p * c_in)
         proj = fnn.Dense(d, dtype=self.dtype, name="proj")(proj)
@@ -61,14 +63,14 @@ class TNTBlock(fnn.Module):
             [patch_tokens[:, :1], patch_tokens[:, 1:] + proj], axis=1)
 
         # outer transformer on patch tokens
-        y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+        y = LayerNorm(epsilon=1e-5, dtype=self.dtype,
                           name="norm_out")(patch_tokens)
         y = Attention(self.outer_heads, qkv_bias=False, dtype=self.dtype,
                       name="attn_out")(y, training)
         if self.drop_path_rate > 0:
             y = DropPath(self.drop_path_rate, name="dp")(y, training)
         patch_tokens = patch_tokens + y
-        y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+        y = LayerNorm(epsilon=1e-5, dtype=self.dtype,
                           name="norm_mlp")(patch_tokens)
         y = Mlp(int(d * self.mlp_ratio), dtype=self.dtype,
                 name="mlp")(y, training)
@@ -115,10 +117,10 @@ class TNT(fnn.Module):
 
         # patch embed from pixel tokens: LN -> proj -> LN
         # (reference tnt.py: norm1_proj, proj, norm2_proj)
-        pt = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1_proj")(
+        pt = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1_proj")(
             pixel_tokens.reshape(n, num_patches, p * self.inner_dim))
         pt = fnn.Dense(self.embed_dim, dtype=self.dtype, name="proj_embed")(pt)
-        pt = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+        pt = LayerNorm(epsilon=1e-5, dtype=self.dtype,
                            name="norm2_proj")(pt)
         cls = self.param("cls_token", fnn.initializers.normal(0.02),
                          (1, 1, self.embed_dim), jnp.float32)
@@ -138,7 +140,7 @@ class TNT(fnn.Module):
                     patch_tokens, pixel_tokens, training)
         if self.features_only:
             return [patch_tokens[:, 1:].reshape(n, gh, gw, self.embed_dim)]
-        out = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+        out = LayerNorm(epsilon=1e-5, dtype=self.dtype,
                             name="norm")(patch_tokens[:, 0])
         if self.num_classes > 0:
             return fnn.Dense(self.num_classes, dtype=self.dtype,

@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
+from cotnet_tpu.nn.norm import LayerNorm
+
 from cotnet_tpu.models.helpers import (
     build_model_with_cfg, default_cfg, register_variant_table)
 from cotnet_tpu.models.vision_transformer import Mlp
@@ -60,8 +62,9 @@ class GlobalSubSampleAttn(fnn.Module):
                            dtype=self.dtype,
                            kernel_init=fnn.initializers.lecun_normal(),
                            name="sr")(x)
-            kvsrc = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                                  name="sr_norm")(kvsrc)
+            # plain nn.LayerNorm in the reference (twins.py:170) -> eps 1e-5
+            kvsrc = LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                              name="sr_norm")(kvsrc)
             kvsrc = kvsrc.reshape(n, -1, d)
         else:
             kvsrc = x.reshape(n, h * w, d)
@@ -90,7 +93,7 @@ class TwinsBlock(fnn.Module):
     @fnn.compact
     def __call__(self, x, training: bool = False):
         n, h, w, d = x.shape
-        y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         if self.local:
             y = LocallyGroupedAttn(self.num_heads, self.ws, dtype=self.dtype,
                                    name="attn")(y, training)
@@ -100,7 +103,7 @@ class TwinsBlock(fnn.Module):
         if self.drop_path_rate > 0:
             y = DropPath(self.drop_path_rate, name="dp1")(y, training)
         x = x + y
-        y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")(
             y.reshape(n, h * w, d), training).reshape(n, h, w, d)
         if self.drop_path_rate > 0:
@@ -138,8 +141,9 @@ class Twins(fnn.Module):
                        kernel_init=fnn.initializers.lecun_normal(),
                        name=f"patch_embed{si}")(x)
             n, h, w, _ = x.shape
-            x = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                              name=f"embed_norm{si}")(x)
+            # PatchEmbed norm is a plain nn.LayerNorm (twins.py:256) -> eps 1e-5
+            x = LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                          name=f"embed_norm{si}")(x)
             for bi in range(depth):
                 dpr = self.drop_path_rate * idx / max(total - 1, 1)
                 local = self.block_style == "svt" and bi % 2 == 0
@@ -156,7 +160,7 @@ class Twins(fnn.Module):
             feats.append(x)
         if self.features_only:
             return feats
-        x = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = jnp.mean(x, axis=(1, 2))
         if self.drop_rate and training:
             x = fnn.Dropout(self.drop_rate, deterministic=False)(x)

@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
+from cotnet_tpu.nn.norm import LayerNorm
+
 from cotnet_tpu.models.helpers import (
     build_model_with_cfg, default_cfg, register_variant_table)
 from cotnet_tpu.nn import Conv2d, DropPath, get_act_fn
@@ -79,13 +81,13 @@ class Block(fnn.Module):
     @fnn.compact
     def __call__(self, x, training: bool = False):
         d = x.shape[-1]
-        y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = Attention(self.num_heads, self.qkv_bias, self.attn_drop,
                       self.drop, dtype=self.dtype, name="attn")(y, training)
         if self.drop_path_rate > 0:
             y = DropPath(self.drop_path_rate, name="drop_path1")(y, training)
         x = x + y
-        y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(d * self.mlp_ratio), self.drop, dtype=self.dtype,
                 name="mlp")(y, training)
         if self.drop_path_rate > 0:
@@ -158,7 +160,7 @@ class VisionTransformer(fnn.Module):
                       self.drop_rate, self.attn_drop_rate, dpr,
                       dtype=self.dtype, name=f"blocks_{i}")(x, training)
             feats.append(x)
-        x = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         if self.features_only:
             return feats
         cls_out = x[:, 0]

@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
+from cotnet_tpu.nn.norm import LayerNorm
+
 from cotnet_tpu.models.cait import ClassAttn
 from cotnet_tpu.models.helpers import (
     build_model_with_cfg, default_cfg, register_variant_table)
@@ -86,14 +88,14 @@ class XCABlock(fnn.Module):
         g3 = self.param("gamma3", fnn.initializers.constant(self.eta), (d,),
                         jnp.float32)
 
-        y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = XCA(self.num_heads, dtype=self.dtype, name="attn")(y, training)
         y = g1.astype(y.dtype) * y
         if self.drop_path_rate > 0:
             y = DropPath(self.drop_path_rate, name="dp1")(y, training)
         x = x + y
 
-        y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm3")(x)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm3")(x)
         y = LPI(dtype=self.dtype, axis_name=self.axis_name, name="local_mp")(
             y, hw, training)
         y = g3.astype(y.dtype) * y
@@ -101,7 +103,7 @@ class XCABlock(fnn.Module):
             y = DropPath(self.drop_path_rate, name="dp3")(y, training)
         x = x + y
 
-        y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")(
             y, training)
         y = g2.astype(y.dtype) * y
@@ -202,25 +204,25 @@ class XCiT(fnn.Module):
             # tokens scaled by gamma1, and the final residual doubles the
             # patch tokens (x_res + x with x[:,1:] == x_res[:,1:]) — both
             # quirks feed the next block's attention, so keep them.
-            y = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+            y = LayerNorm(epsilon=1e-6, dtype=self.dtype,
                               name=f"ca_norm{i}")(tokens)
             a = ClassAttn(self.num_heads, dtype=self.dtype,
                           name=f"cls_attn_{i}")(y, training)
             x_attn = jnp.concatenate([a, y[:, 1:]], axis=1)
             tokens = tokens + g1.astype(a.dtype) * x_attn
             if self.tokens_norm:
-                tokens = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                tokens = LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                        name=f"ca_norm_mlp{i}")(tokens)
             else:
                 tokens = jnp.concatenate(
-                    [fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                    [LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                    name=f"ca_norm_mlp{i}")(tokens[:, :1]),
                      tokens[:, 1:]], axis=1)
             m = Mlp(int(self.embed_dim * 4), dtype=self.dtype,
                     name=f"ca_mlp{i}")(tokens[:, :1], training)
             tokens = tokens + jnp.concatenate(
                 [g2.astype(m.dtype) * m, tokens[:, 1:]], axis=1)
-        out = fnn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+        out = LayerNorm(epsilon=1e-6, dtype=self.dtype,
                             name="norm")(tokens[:, 0])
         if self.num_classes > 0:
             return fnn.Dense(self.num_classes, dtype=self.dtype,

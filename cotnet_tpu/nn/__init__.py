@@ -10,7 +10,7 @@ from cotnet_tpu.nn.blur_pool import BlurPool2d
 from cotnet_tpu.nn.classifier import ClassifierHead
 from cotnet_tpu.nn.conv import Conv2d, ConvBnAct, StdConv2d, get_padding, pad_same, to_2tuple
 from cotnet_tpu.nn.drop import DropBlock2d, DropPath, Dropout, drop_block_2d, drop_path
-from cotnet_tpu.nn.norm import SubChannelGroupNorm, batch_norm
+from cotnet_tpu.nn.norm import LayerNorm, SubChannelGroupNorm, batch_norm
 from cotnet_tpu.nn.pool import (
     avg_pool2d,
     avg_pool2d_same,

@@ -79,10 +79,14 @@ def _pad_input(x, pad, dilation, pad_mode):
         raise ValueError(f"unknown pad_mode {pad_mode!r}")
 
 
-def _agg_core_xla(xp, w, kernel_size, stride, dilation):
+def _agg_core_xla(xp, w, kernel_size, stride, dilation, w_scale=None,
+                  w_bias=None):
     """VALID local aggregation on a pre-padded input.
 
     xp: [N, Hp, Wp, C], w: [N, Ho, Wo, heads, Kh*Kw, Cw] -> [N, Ho, Wo, heads*C]
+    w_scale/w_bias: optional [N, heads, K2, Cw] affine applied to w inline
+    (the GroupNorm fold — XLA fuses it into the multiply-reduce, so the
+    normalized weight is never materialized).
     """
     n, hp, wp, c = xp.shape
     _, ho, wo, heads, k2, cw = w.shape
@@ -106,7 +110,12 @@ def _agg_core_xla(xp, w, kernel_size, stride, dilation):
     patches = patches.reshape(n, ho, wo, 1, k2, g, cw)
     wb = w.reshape(n, ho, wo, heads, k2, 1, cw)
     acc_dtype = jnp.promote_types(xp.dtype, jnp.float32)
-    out = jnp.sum(patches.astype(acc_dtype) * wb.astype(acc_dtype), axis=4)
+    wb = wb.astype(acc_dtype)
+    if w_scale is not None:
+        sb = w_scale.reshape(n, 1, 1, heads, k2, 1, cw).astype(acc_dtype)
+        bb = w_bias.reshape(n, 1, 1, heads, k2, 1, cw).astype(acc_dtype)
+        wb = wb * sb + bb
+    out = jnp.sum(patches.astype(acc_dtype) * wb, axis=4)
     return out.reshape(n, ho, wo, heads * c).astype(xp.dtype)
 
 
@@ -149,6 +158,8 @@ def local_aggregate(
     dilation=1,
     pad_mode: str = "zeros",
     impl: str = "auto",
+    w_scale: jax.Array | None = None,
+    w_bias: jax.Array | None = None,
 ) -> jax.Array:
     """Position-specific K x K weighted aggregation (the CoT "local conv").
 
@@ -161,6 +172,10 @@ def local_aggregate(
         (aggregation_refpad).
       impl: ``'xla'``, ``'pallas'`` or ``'auto'`` (pallas on TPU when
         supported, else XLA).
+      w_scale / w_bias: optional ``[N, heads, K*K, Cw]`` per-image affine
+        applied to ``w`` inside the op (``w*scale + bias``) — the GroupNorm
+        fold: the normalized weight tensor is never materialized in HBM
+        (fused into the Pallas kernels; inlined into the XLA reduce).
 
     Returns:
       ``[N, Ho, Wo, heads*C]``; output channel ``head*C + c`` aggregates input
@@ -182,27 +197,66 @@ def local_aggregate(
     if (ho, wo) != tuple(w.shape[1:3]):
         raise ValueError(f"weight spatial {w.shape[1:3]} != derived output ({ho},{wo})")
 
+    if (w_scale is None) != (w_bias is None):
+        raise ValueError("w_scale and w_bias must be given together")
+    if w_scale is not None:
+        expect = (w.shape[0], w.shape[3], w.shape[4], w.shape[5])
+        if tuple(w_scale.shape) != expect or tuple(w_bias.shape) != expect:
+            raise ValueError(
+                f"affine shape {w_scale.shape}/{w_bias.shape} != {expect}")
+
     if impl == "identity":
         # profiling ablation: skip the aggregation entirely (tools/infer_ablate)
         heads = w.shape[3]
         return jnp.tile(x[:, ::stride[0], ::stride[1], :], (1, 1, 1, heads))
+
+    def _apply_affine(w):
+        if w_scale is None:
+            return w
+        n, ho_, wo_, heads, k2, cw = w.shape
+        acc = jnp.promote_types(w.dtype, jnp.float32)
+        wn = (w.astype(acc) * w_scale.reshape(n, 1, 1, heads, k2, cw)
+              + w_bias.reshape(n, 1, 1, heads, k2, cw))
+        return wn.astype(w.dtype)
+
     use_pallas = impl == "pallas" or (
         impl == "auto" and stride == (1, 1) and jax.default_backend() == "tpu"
     )
     if use_pallas and stride == (1, 1):
-        from cotnet_tpu.ops.local_agg_pallas import agg_core_pallas, pallas_plan
+        from cotnet_tpu.ops.local_agg_pallas import (
+            agg_core_pallas, agg_core_pallas_affine, pallas_plan)
 
         if pad_mode == "zeros":
             # zero padding fuses into the kernel (VMEM memset+copy)
-            if pallas_plan(x.shape, w.shape, x.dtype.itemsize, padding):
+            if w_scale is not None:
+                plan = pallas_plan(x.shape, w.shape, x.dtype.itemsize,
+                                   padding, affine=True)
+                if plan is not None and plan[0] == "whole":
+                    return agg_core_pallas_affine(
+                        x, w, w_scale, w_bias, kernel_size, dilation, padding)
+                # strip/wloop flavors have no affine fold: pre-apply (same
+                # traffic as the unfused path, no regression)
+                if pallas_plan(x.shape, w.shape, x.dtype.itemsize, padding):
+                    return agg_core_pallas(x, _apply_affine(w), kernel_size,
+                                           dilation, padding)
+            elif pallas_plan(x.shape, w.shape, x.dtype.itemsize, padding):
                 return agg_core_pallas(x, w, kernel_size, dilation, padding)
         else:
             xp = _pad_input(x, padding, dilation, pad_mode)
+            if w_scale is not None:
+                plan = pallas_plan(xp.shape, w.shape, xp.dtype.itemsize,
+                                   affine=True)
+                if plan is not None and plan[0] == "whole":
+                    return agg_core_pallas_affine(
+                        xp, w, w_scale, w_bias, kernel_size, dilation, (0, 0))
             if pallas_plan(xp.shape, w.shape, xp.dtype.itemsize):
-                return agg_core_pallas(xp, w, kernel_size, dilation, (0, 0))
-            return _agg_core_xla(xp, w, kernel_size, stride, dilation)
+                return agg_core_pallas(xp, _apply_affine(w), kernel_size,
+                                       dilation, (0, 0))
+            return _agg_core_xla(xp, w, kernel_size, stride, dilation,
+                                 w_scale, w_bias)
     xp = _pad_input(x, padding, dilation, pad_mode)
-    return _agg_core_xla(xp, w, kernel_size, stride, dilation)
+    return _agg_core_xla(xp, w, kernel_size, stride, dilation, w_scale,
+                         w_bias)
 
 
 def local_aggregate_mix(

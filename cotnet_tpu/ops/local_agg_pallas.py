@@ -78,7 +78,8 @@ def _tiled_bytes(shape, itemsize) -> int:
     return n * w_pad * c_pad * itemsize
 
 
-def _working_set(x_shape, w_shape, itemsize, padding, m) -> int:
+def _working_set(x_shape, w_shape, itemsize, padding, m,
+                 affine=False, affine_dw=False) -> int:
     """VMEM bytes for an m-image block: I/O blocks x double buffering + the
     padded scratch and fp32 accumulators.
 
@@ -86,27 +87,50 @@ def _working_set(x_shape, w_shape, itemsize, padding, m) -> int:
     of the SSA chain's tap temporaries in flight, and the K=7 SAN shape
     (32x32x64, k2=49) measured 17.03 MB scoped VMEM where a flat 4-temp
     model predicted ~10 MB.  ``3 + k2 // 4`` reproduces both the measured
-    K=3 fits (cotnet stage 2-4 stay on Pallas) and the K=7 overflow."""
+    K=3 fits (cotnet stage 2-4 stay on Pallas) and the K=7 overflow.
+
+    ``affine`` adds the fused-GroupNorm forward's extras — just the
+    [m,1,1,F] f32 scale/bias blocks.  ``affine_dw`` models the affine dw
+    kernel instead, which additionally reads the raw weight alongside dy
+    and keeps an f32 tap product live; fwd and bwd pick their m
+    independently (the dw extras must not shrink the forward's packing —
+    that cost ~0.25 ms at stage 4 when both shared one plan)."""
     n, hi, wi, c = x_shape
     _, ho, wo, heads, k2, cw = w_shape
     hp, wp = hi + 2 * padding[0], wi + 2 * padding[1]
+    f = heads * k2 * cw
     bufs = (_tiled_bytes((m, hi, wi, c), itemsize)
-            + _tiled_bytes((m, ho, wo, heads * k2 * cw), itemsize)
+            + _tiled_bytes((m, ho, wo, f), itemsize)
             + _tiled_bytes((m, ho, wo, heads * c), itemsize))
+    if affine or affine_dw:
+        bufs += 2 * _tiled_bytes((m, 1, 1, f), 4)
+    if affine_dw:
+        bufs += _tiled_bytes((m, ho, wo, f), itemsize)
     live_temps = 3 + k2 // 4
     scratch = (_tiled_bytes((m, hp, wp, c), itemsize)      # padded copy
                + live_temps * _tiled_bytes((m, hp, wp, c), 4))
+    if affine_dw:
+        scratch += _tiled_bytes((m, ho, wo, f), 4)
     return 2 * bufs + scratch
 
 
-def fits_vmem(x_shape, w_shape, itemsize, padding=(0, 0)) -> bool:
+def fits_vmem(x_shape, w_shape, itemsize, padding=(0, 0),
+              affine=False) -> bool:
     """Single-image working set against the VMEM budget; callers fall back
-    to XLA beyond it."""
-    return _working_set(x_shape, w_shape, itemsize, padding,
-                        1) <= _VMEM_BUDGET_BYTES
+    to XLA beyond it.  For the affine path this also requires the dw
+    kernel's larger working set to fit at m=1 (the plan flavor must serve
+    fwd AND bwd)."""
+    if _working_set(x_shape, w_shape, itemsize, padding, 1,
+                    affine) > _VMEM_BUDGET_BYTES:
+        return False
+    if affine and _working_set(x_shape, w_shape, itemsize, padding, 1,
+                               affine_dw=True) > _VMEM_BUDGET_BYTES:
+        return False
+    return True
 
 
-def _pick_batch_block(x_shape, w_shape, itemsize, padding) -> int:
+def _pick_batch_block(x_shape, w_shape, itemsize, padding,
+                      affine=False, affine_dw=False) -> int:
     """Images per grid step.  Tiny late-stage maps (7x7) are latency-bound
     at one image per step — DMA and per-step overhead dwarf the compute —
     so pack several images per block there (divisor of N, VMEM-bounded; ops
@@ -123,7 +147,7 @@ def _pick_batch_block(x_shape, w_shape, itemsize, padding) -> int:
         if n % cand != 0:
             break
         if _working_set(x_shape, w_shape, itemsize, padding,
-                        cand) > _VMEM_BUDGET_BYTES:
+                        cand, affine, affine_dw) > _VMEM_BUDGET_BYTES:
             break
         m = cand
     return m
@@ -222,12 +246,12 @@ def strip_plan(x_shape, w_shape, itemsize, padding=(0, 0)):
     return None
 
 
-def pallas_plan(x_shape, w_shape, itemsize, padding=(0, 0)):
+def pallas_plan(x_shape, w_shape, itemsize, padding=(0, 0), affine=False):
     """('whole', m) | ('wloop', group) | ('strip', S) | None — which kernel
     flavor handles the shape within the VMEM budget."""
-    if fits_vmem(x_shape, w_shape, itemsize, padding):
+    if fits_vmem(x_shape, w_shape, itemsize, padding, affine):
         return ("whole", _pick_batch_block(x_shape, w_shape, itemsize,
-                                           padding))
+                                           padding, affine))
     n, hi, wi, c = x_shape
     _, ho, wo, _, _, _ = w_shape
     if (WLOOP_DISPATCH and ho == hi and wo == wi
@@ -246,6 +270,18 @@ def _tile_lanes(wk, g):
     return jnp.concatenate([wk] * g, axis=-1) if g > 1 else wk
 
 
+def _tap_weight(w_ref, s_ref, b_ref, k, cw):
+    """Tap k of the flat k-major weight as f32, with the GroupNorm affine
+    ``w*s + b`` folded in when s/b refs are present (the fused-normalize
+    path: the normalized weight tensor never exists in HBM)."""
+    wk = w_ref[:, :, :, k * cw:(k + 1) * cw].astype(jnp.float32)
+    if s_ref is not None:
+        sk = s_ref[:, :, :, k * cw:(k + 1) * cw]
+        bk = b_ref[:, :, :, k * cw:(k + 1) * cw]
+        wk = wk * sk + bk
+    return wk
+
+
 def _fill_padded(x_ref, xp_ref, ph, pw, hi, wi):
     """memset + center copy: xp[ph:ph+hi, pw:pw+wi] = x (zero borders)."""
     if ph == 0 and pw == 0:
@@ -255,10 +291,11 @@ def _fill_padded(x_ref, xp_ref, ph, pw, hi, wi):
         xp_ref[:, ph:ph + hi, pw:pw + wi, :] = x_ref[...]
 
 
-def _fwd_kernel(x_ref, w_ref, out_ref, xp_ref, *, kh, kw, dh, dw,
-                heads, g, cw, ho, wo, c, ph, pw, hi, wi):
-    """out[ho,wo,head*C+c] = sum_k w[ho,wo,(head*K^2+k)*Cw + c%Cw]
-                                   * xpad[ho+kh*dh, wo+kw*dw, c].
+def _fwd_body(x_ref, w_ref, s_ref, b_ref, out_ref, xp_ref, *, kh, kw, dh, dw,
+              heads, g, cw, ho, wo, c, ph, pw, hi, wi):
+    """out[ho,wo,head*C+c] = sum_k wn[ho,wo,(head*K^2+k)*Cw + c%Cw]
+                                   * xpad[ho+kh*dh, wo+kw*dw, c]
+    with ``wn = w*s + b`` when the affine refs are present.
 
     SSA accumulator chain on purpose: an in-place fp32 scratch accumulator
     halves VMEM pressure but measured 2x slower (the per-tap scratch
@@ -276,31 +313,48 @@ def _fwd_kernel(x_ref, w_ref, out_ref, xp_ref, *, kh, kw, dh, dw,
                 k = head * kh * kw + ikh * kw + ikw
                 xs = xp_ref[:, ikh * dh:ikh * dh + ho,
                             ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
-                wk = w_ref[:, :, :, k * cw:(k + 1) * cw].astype(jnp.float32)
+                wk = _tap_weight(w_ref, s_ref, b_ref, k, cw)
                 tap = xs * _tile_lanes(wk, g)
                 acc = tap if acc is None else acc + tap
         out_ref[:, :, :, head * c:(head + 1) * c] = acc.astype(out_dtype)
 
 
-def _dx_kernel(w_ref, dy_ref, dx_ref, acc_ref, *, kh, kw, dh, dw, heads, g,
-               cw, ho, wo, c, ph, pw, hi, wi):
+def _fwd_kernel(x_ref, w_ref, out_ref, xp_ref, **geo):
+    _fwd_body(x_ref, w_ref, None, None, out_ref, xp_ref, **geo)
+
+
+def _fwd_kernel_affine(x_ref, w_ref, s_ref, b_ref, out_ref, xp_ref, **geo):
+    _fwd_body(x_ref, w_ref, s_ref, b_ref, out_ref, xp_ref, **geo)
+
+
+def _dx_body(w_ref, s_ref, b_ref, dy_ref, dx_ref, acc_ref, *, kh, kw, dh, dw,
+             heads, g, cw, ho, wo, c, ph, pw, hi, wi):
     """Cotangent w.r.t. the (unpadded) input — the transpose of the forward
     shifted-slice pattern (cf. aggregation_zeropad.py:48-78; the stride/
     bounds branching vanishes on the padded accumulator, and the zero-pad
-    VJP is the final center slice)."""
+    VJP is the final center slice).  The GroupNorm affine folds in the same
+    way as forward: dx aggregates with the *normalized* weight."""
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for head in range(heads):
         dys = dy_ref[:, :, :, head * c:(head + 1) * c].astype(jnp.float32)
         for ikh in range(kh):
             for ikw in range(kw):
                 k = head * kh * kw + ikh * kw + ikw
-                wk = w_ref[:, :, :, k * cw:(k + 1) * cw].astype(jnp.float32)
+                wk = _tap_weight(w_ref, s_ref, b_ref, k, cw)
                 contrib = _tile_lanes(wk, g) * dys
                 cur = acc_ref[:, ikh * dh:ikh * dh + ho,
                               ikw * dw:ikw * dw + wo, :]
                 acc_ref[:, ikh * dh:ikh * dh + ho,
                         ikw * dw:ikw * dw + wo, :] = cur + contrib
     dx_ref[...] = acc_ref[:, ph:ph + hi, pw:pw + wi, :].astype(dx_ref.dtype)
+
+
+def _dx_kernel(w_ref, dy_ref, dx_ref, acc_ref, **geo):
+    _dx_body(w_ref, None, None, dy_ref, dx_ref, acc_ref, **geo)
+
+
+def _dx_kernel_affine(w_ref, s_ref, b_ref, dy_ref, dx_ref, acc_ref, **geo):
+    _dx_body(w_ref, s_ref, b_ref, dy_ref, dx_ref, acc_ref, **geo)
 
 
 def _dw_kernel(x_ref, dy_ref, dw_ref, xp_ref, *, kh, kw, dh, dw, heads, g,
@@ -323,6 +377,42 @@ def _dw_kernel(x_ref, dy_ref, dw_ref, xp_ref, *, kh, kw, dh, dw, heads, g,
                 for gi in range(1, g):
                     acc = acc + t[:, :, :, gi * cw:(gi + 1) * cw]
                 dw_ref[:, :, :, k * cw:(k + 1) * cw] = acc.astype(out_dtype)
+
+
+def _dw_kernel_affine(x_ref, dy_ref, w_ref, s_ref, dwf_ref, dsf_ref, dbf_ref,
+                      xp_ref, *, kh, kw, dh, dw, heads, g, cw, ho, wo, c,
+                      ph, pw, hi, wi):
+    """Weight-side cotangents of the affine-folded op in one pass.
+
+    With ``wn = w*s + b`` the cotangent w.r.t. the normalized weight is
+    ``gn[k] = sum_g xpad_tap * dy`` (the plain dw kernel's output); the
+    three partials this kernel writes are then
+      dw = gn * s            (straight into the flat k-major layout)
+      ds = sum_{h,w} gn * w  -> [N, 1, 1, F]
+      db = sum_{h,w} gn      -> [N, 1, 1, F]
+    so the full-size ``gn`` tensor never reaches HBM — the unfused path
+    would write it, then re-read it (and w) in the GroupNorm backward."""
+    _fill_padded(x_ref, xp_ref, ph, pw, hi, wi)
+    out_dtype = dwf_ref.dtype
+    for head in range(heads):
+        dys = dy_ref[:, :, :, head * c:(head + 1) * c].astype(jnp.float32)
+        for ikh in range(kh):
+            for ikw in range(kw):
+                k = head * kh * kw + ikh * kw + ikw
+                xs = xp_ref[:, ikh * dh:ikh * dh + ho,
+                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
+                t = xs * dys
+                gn = t[:, :, :, 0:cw]
+                for gi in range(1, g):
+                    gn = gn + t[:, :, :, gi * cw:(gi + 1) * cw]
+                sk = s_ref[:, :, :, k * cw:(k + 1) * cw]
+                wk = w_ref[:, :, :, k * cw:(k + 1) * cw].astype(jnp.float32)
+                dwf_ref[:, :, :, k * cw:(k + 1) * cw] = (
+                    (gn * sk).astype(out_dtype))
+                dsf_ref[:, :, :, k * cw:(k + 1) * cw] = jnp.sum(
+                    gn * wk, axis=(1, 2), keepdims=True)
+                dbf_ref[:, :, :, k * cw:(k + 1) * cw] = jnp.sum(
+                    gn, axis=(1, 2), keepdims=True)
 
 
 def _fwd_wloop_kernel(x_ref, w_ref, out_ref, xp_ref, acc_ref, *, group, kh,
@@ -655,3 +745,122 @@ def _agg_bwd_rule(kernel_size, dilation, padding, res, dy):
 
 
 agg_core_pallas.defvjp(_agg_fwd_rule, _agg_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Affine-folded variant: aggregation with the GroupNorm normalize fused in.
+#
+# The CoT attention weight is produced by embed-conv -> GroupNorm and
+# consumed exactly once by the aggregation.  A pallas_call is a fusion
+# boundary, so with the plain kernel the *normalized* weight tensor — the
+# largest activation in every CoT layer — must be materialized in HBM (one
+# write by the normalize fusion + one read by the kernel).  Folding the
+# normalize's per-(image, tap, cw) affine ``wn = w*s + b`` into the kernels
+# deletes that round-trip: forward reads the raw conv output directly, and
+# backward emits (dw, ds, db) in one pass instead of writing the
+# normalized-weight cotangent for an XLA GroupNorm-backward to re-read.
+# The tiny stats reductions that produce s and b stay outside in XLA (they
+# fuse with the embed conv's output); their gradient chain back to w
+# composes automatically because s and b are primal inputs here.
+# ---------------------------------------------------------------------------
+
+
+def _flat_affine(s):
+    """[N, heads, K^2, Cw] -> [N, 1, 1, heads*K^2*Cw] f32 (bitcast+cast)."""
+    n, heads, k2, cw = s.shape
+    return s.reshape(n, 1, 1, heads * k2 * cw).astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def agg_core_pallas_affine(x, w, s, b, kernel_size, dilation,
+                           padding=(0, 0)):
+    """Stride-1 local aggregation of ``x`` with ``w*s + b``, fused.
+
+    x: [N, H, W, C]; w: [N, Ho, Wo, heads, K^2, Cw];
+    s, b: [N, heads, K^2, Cw] float32 (per-image GroupNorm affine).
+    Only the whole-image kernel flavor supports the fold — callers gate on
+    ``pallas_plan(..., affine=True) == ('whole', m)`` and pre-apply the
+    affine for other plans.
+    """
+    return _agg_affine_fwd_impl(x, w, s, b, kernel_size, dilation, padding)
+
+
+def _agg_affine_fwd_impl(x, w, s, b, kernel_size, dilation, padding):
+    geo = _geometry(x.shape, w.shape, kernel_size, dilation, padding)
+    n, hi, wi, c = x.shape
+    ho, wo, heads = geo["ho"], geo["wo"], geo["heads"]
+    hp, wp = hi + 2 * geo["ph"], wi + 2 * geo["pw"]
+    wf = _flat_weight(w)
+    sf, bf = _flat_affine(s), _flat_affine(b)
+    plan = pallas_plan(x.shape, w.shape, x.dtype.itemsize, padding,
+                       affine=True)
+    assert plan is not None and plan[0] == "whole", \
+        "caller must gate on pallas_plan(affine=True)"
+    m = plan[1]
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_affine, **geo),
+        grid=(n // m,),
+        in_specs=[_block(x.shape, m), _block(wf.shape, m),
+                  _block(sf.shape, m), _block(bf.shape, m)],
+        out_specs=_block((n, ho, wo, heads * c), m),
+        out_shape=jax.ShapeDtypeStruct((n, ho, wo, heads * c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((m, hp, wp, c), x.dtype)],
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * ho * wo * heads * geo["kh"] * geo["kw"] * c,
+            bytes_accessed=(x.size + wf.size + n * ho * wo * heads * c)
+            * x.dtype.itemsize,
+            transcendentals=0),
+    )(x, wf, sf, bf)
+
+
+def _agg_affine_fwd_rule(x, w, s, b, kernel_size, dilation, padding):
+    out = _agg_affine_fwd_impl(x, w, s, b, kernel_size, dilation, padding)
+    return out, (x, w, s, b)
+
+
+def _agg_affine_bwd_rule(kernel_size, dilation, padding, res, dy):
+    x, w, s, b = res
+    geo = _geometry(x.shape, w.shape, kernel_size, dilation, padding)
+    n, hi, wi, c = x.shape
+    ho, wo, heads = geo["ho"], geo["wo"], geo["heads"]
+    hp, wp = hi + 2 * geo["ph"], wi + 2 * geo["pw"]
+    wf = _flat_weight(w)
+    sf, bf = _flat_affine(s), _flat_affine(b)
+    plan = pallas_plan(x.shape, w.shape, x.dtype.itemsize, padding,
+                       affine=True)
+    assert plan is not None and plan[0] == "whole"
+    # bwd picks its own packing: the dw kernel's extra raw-weight block
+    # must not shrink the forward's m
+    m = _pick_batch_block(x.shape, w.shape, x.dtype.itemsize, padding,
+                          affine_dw=True)
+
+    dx = pl.pallas_call(
+        functools.partial(_dx_kernel_affine, **geo),
+        grid=(n // m,),
+        in_specs=[_block(wf.shape, m), _block(sf.shape, m),
+                  _block(bf.shape, m), _block((n, ho, wo, heads * c), m)],
+        out_specs=_block(x.shape, m),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((m, hp, wp, c), jnp.float32)],
+        interpret=_use_interpret(),
+    )(wf, sf, bf, dy)
+
+    dwf, dsf, dbf = pl.pallas_call(
+        functools.partial(_dw_kernel_affine, **geo),
+        grid=(n // m,),
+        in_specs=[_block(x.shape, m), _block((n, ho, wo, heads * c), m),
+                  _block(wf.shape, m), _block(sf.shape, m)],
+        out_specs=(_block(wf.shape, m), _block(sf.shape, m),
+                   _block(bf.shape, m)),
+        out_shape=(jax.ShapeDtypeStruct(wf.shape, w.dtype),
+                   jax.ShapeDtypeStruct(sf.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(bf.shape, jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((m, hp, wp, c), x.dtype)],
+        interpret=_use_interpret(),
+    )(x, dy, wf, sf)
+    return (dx, dwf.reshape(w.shape), dsf.reshape(s.shape).astype(s.dtype),
+            dbf.reshape(b.shape).astype(b.dtype))
+
+
+agg_core_pallas_affine.defvjp(_agg_affine_fwd_rule, _agg_affine_bwd_rule)

@@ -16,6 +16,7 @@ use (jax.distributed.initialize) — the analog of init_process_group
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 import jax
@@ -24,16 +25,35 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 
+_log = logging.getLogger(__name__)
+
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> None:
-    """Multi-host init (no-op on a single host / already-initialized)."""
+    """Multi-host init — the analog of the reference's init_process_group
+    (train.py:224): one call per host process before any device use.
+
+    With no arguments this is best-effort (auto-detected environments, e.g.
+    TPU pods, initialize; plain single-host runs no-op).  When the caller
+    passes explicit multi-process arguments, failure is FATAL: silently
+    degrading a mis-configured pod to N independent single-host runs would
+    train N divergent models — log loudly and re-raise instead.
+    """
+    explicit = any(a is not None for a in
+                   (coordinator_address, num_processes, process_id))
     try:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
-    except (RuntimeError, ValueError):
-        pass  # single-process or already initialized
+    except (RuntimeError, ValueError) as e:
+        if explicit:
+            _log.error(
+                "jax.distributed.initialize(coordinator=%s, num_processes=%s,"
+                " process_id=%s) FAILED: %s — refusing to degrade to"
+                " single-host", coordinator_address, num_processes,
+                process_id, e)
+            raise
+        _log.debug("distributed init skipped: %s", e)
 
 
 def make_mesh(n_devices: Optional[int] = None,
