@@ -128,8 +128,45 @@ MEASURED_BF16_TFLOPS = 64.0
 MEASURED_HBM_GBPS = 127.0
 
 
+# reductions are excluded: in the un-fused jaxpr they consume stacked/
+# broadcast intermediates (e.g. the XLA aggregation's 9-tap patch stack)
+# that XLA provably fuses back into strided reads of the source tensor
+_MAJOR_PRIMS = {"conv_general_dilated", "dot_general", "pallas_call"}
+
+
+def _jaxpr_traffic_bytes(jaxpr) -> int:
+    """Perfect-fusion HBM traffic model: only 'major' primitives (convs,
+    matmuls, pallas kernels) count their operand + output bytes; elementwise
+    /pad/reshape/reduce chains are assumed fused for free.  A diagnostic
+    upper-ish bound on streaming traffic: XLA cost-analysis 'bytes accessed'
+    counts every pre-fusion op and overstates it ~10x further."""
+    total = 0
+
+    def aval_bytes(v):
+        aval = v.aval
+        n = 1
+        for d in aval.shape:
+            n *= d
+        return n * aval.dtype.itemsize
+
+    def walk(jx):
+        nonlocal total
+        for eqn in jx.eqns:
+            name = eqn.primitive.name
+            for p in eqn.params.values():
+                inner = getattr(p, "jaxpr", None)
+                if inner is not None:
+                    walk(inner)
+            if name in _MAJOR_PRIMS:
+                total += sum(aval_bytes(v) for v in eqn.invars
+                             if hasattr(v, "aval"))
+                total += sum(aval_bytes(v) for v in eqn.outvars)
+    walk(jaxpr)
+    return total
+
+
 def model_costs(model_name: str, batch: int, size: int, impl: str, dtype):
-    """XLA cost analysis (flops, bytes accessed) of one forward batch."""
+    """(flops from XLA cost analysis, idealized HBM bytes) of one forward."""
     from cotnet_tpu.models import create_model
 
     model = create_model(model_name, dtype=dtype, block_args=dict(impl=impl))
@@ -138,14 +175,14 @@ def model_costs(model_name: str, batch: int, size: int, impl: str, dtype):
         lambda r, x: model.init({"params": r}, x, training=False),
         jax.random.PRNGKey(0), x)
     variables = _zeros_like_tree(shapes)
-    compiled = jax.jit(
-        lambda v, x: model.apply(v, x, training=False)).lower(
-            variables, x).compile()
+    fwd = lambda v, x: model.apply(v, x, training=False)  # noqa: E731
+    compiled = jax.jit(fwd).lower(variables, x).compile()
     costs = compiled.cost_analysis()
     if isinstance(costs, list):
         costs = costs[0]
+    jaxpr = jax.make_jaxpr(fwd)(variables, x)
     return (float(costs.get("flops", 0.0)),
-            float(costs.get("bytes accessed", 0.0)))
+            float(_jaxpr_traffic_bytes(jaxpr.jaxpr)))
 
 
 def timeit(chained, variables, x, iters):
@@ -183,16 +220,19 @@ def main():
     best = max(ips, ips_xla)
 
     # chip-ceiling tracking (VERDICT r2 weak #6): MFU against the measured
-    # bf16 matmul envelope and the HBM-roofline fraction (cost-analysis
-    # bytes / measured bandwidth vs achieved time)
+    # bf16 matmul envelope, plus the perfect-fusion traffic estimate as a
+    # raw diagnostic.  No "HBM-bound fraction" is printed: the measured
+    # 127 GB/s ELEMENTWISE envelope demonstrably understates what convs
+    # achieve through VMEM reuse (resnet50 runs 10.6 ms where that envelope
+    # would put its traffic floor above 20 ms), so a fraction of it would
+    # mislead in either direction.
     try:
         flops, bytes_acc = model_costs("cotnet50", batch, size, "pallas",
                                        dtype)
         mfu = (flops / dt_pallas) / (MEASURED_BF16_TFLOPS * 1e12)
-        hbm_floor_s = bytes_acc / (MEASURED_HBM_GBPS * 1e9)
-        hbm_fraction = hbm_floor_s / dt_pallas
+        traffic_gb = bytes_acc / 1e9
     except Exception:
-        mfu = hbm_fraction = -1.0
+        mfu = traffic_gb = -1.0
 
     result = {
         "metric": "cotnet50_224_bs128_bf16_infer_imgs_per_sec_chip",
@@ -206,7 +246,7 @@ def main():
                    "train_ms_per_batch": round(dt_train * 1e3, 3),
                    "train_imgs_per_sec_xla": round(batch / dt_train_xla, 1),
                    "mfu_vs_measured_envelope": round(mfu, 4),
-                   "hbm_bound_fraction": round(hbm_fraction, 4),
+                   "ideal_traffic_gb": round(traffic_gb, 3),
                    "platform": jax.default_backend()},
     }
     signal.alarm(0)

@@ -32,6 +32,62 @@ def _interp(name):
     return interp(name)
 
 
+_CUBIC_A = -0.5        # Keys kernel, tf.image.resize v2 bicubic
+_CUBIC_TABLE = 1024    # TF quantizes the cubic coefficients to a 1024-entry
+#                        LUT (resize_bicubic kernel) — emulating it makes the
+#                        port bit-faithful (~1e-7 vs ~6e-4 with exact coeffs)
+
+
+def _resize_weights_1d(in_size: int, out_size: int, method: str):
+    """(idx [out,T], w [out,T]) of tf.image.resize's effective 1-D weights.
+
+    Matches TF v2 semantics (half-pixel centers, antialias=False): sample
+    coordinates computed in float32, bicubic coefficients through the
+    kernel's quantized table, out-of-range taps dropped and the remaining
+    weights renormalized.  Validated against tf.image.resize to <=2e-7 per
+    weight across up/down-scales (see tests/test_data.py goldens)."""
+    scale = np.float32(in_size / out_size)
+    x = ((np.arange(out_size, dtype=np.float32) + np.float32(0.5)) * scale
+         - np.float32(0.5)).astype(np.float64)
+    base = np.floor(x).astype(np.int64)
+    frac = x - base
+    if method == "bilinear":
+        offsets = np.array([0, 1])
+        w = np.stack([1.0 - frac, frac], -1)
+    elif method == "bicubic":
+        k, a = _CUBIC_TABLE, _CUBIC_A
+        i = np.arange(k + 1) / k
+        tab0 = ((a + 2) * i - (a + 3)) * i * i + 1        # kernel(t), t in [0,1]
+        x1 = i + 1.0
+        tab1 = a * (((x1 - 5) * x1 + 8) * x1 - 4)         # kernel(t+1), [1,2]
+        off = np.round(frac * k).astype(np.int64)
+        offsets = np.array([-1, 0, 1, 2])
+        w = np.stack([tab1[off], tab0[off], tab0[k - off], tab1[k - off]], -1)
+    else:
+        raise ValueError(f"unknown resize method {method!r}")
+    idx_raw = base[:, None] + offsets[None, :]
+    valid = (idx_raw >= 0) & (idx_raw < in_size)
+    w = np.where(valid, w, 0.0)
+    w = w / w.sum(-1, keepdims=True)
+    return np.clip(idx_raw, 0, in_size - 1), w
+
+
+def tf_resize(img: np.ndarray, out_h: int, out_w: int,
+              method: str = "bicubic") -> np.ndarray:
+    """Bit-faithful numpy port of ``tf.image.resize(img, [h, w], method)``
+    (v2 semantics, antialias=False) — the resize inside the reference's TF
+    preprocessing graph (tf_preprocessing.py:133,157).  HWC float in/out."""
+    out = np.asarray(img, np.float32)
+    for axis, osz in ((0, out_h), (1, out_w)):
+        idx, w = _resize_weights_1d(out.shape[axis], osz, method)
+        taps = np.take(out, idx, axis=axis)       # axis -> (osz, T)
+        w_shape = [1] * taps.ndim
+        w_shape[axis], w_shape[axis + 1] = idx.shape
+        out = (taps * w.reshape(w_shape)).sum(axis=axis + 1,
+                                              dtype=np.float32)
+    return out
+
+
 def tf_center_crop_box(width: int, height: int, size: int):
     """The TF eval crop window (left, top, side)."""
     side = int((size / (size + CROP_PADDING)) * min(width, height))
@@ -51,9 +107,12 @@ class TfEvalPreprocess:
     def __call__(self, img):
         w, h = img.size
         left, top, side = tf_center_crop_box(w, h, self.size)
-        img = img.crop((left, top, left + side, top + side))
-        img = img.resize((self.size, self.size), _interp(self.interpolation))
-        return np.asarray(img.convert("RGB"), dtype=np.uint8)
+        img = img.convert("RGB").crop((left, top, left + side, top + side))
+        # the reference resizes in float32 TF then rounds to uint8
+        # (TfPreprocessTransform.__call__, tf_preprocessing.py:228-232)
+        out = tf_resize(np.asarray(img, np.float32), self.size, self.size,
+                        self.interpolation)
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
 class TfTrainPreprocess:
@@ -110,13 +169,12 @@ class TfTrainPreprocess:
             cw = ch = side
         else:
             left, top, cw, ch = box
-        img = img.crop((left, top, left + cw, top + ch))
-        img = img.resize((self.size, self.size), _interp(self.interpolation))
+        img = img.convert("RGB").crop((left, top, left + cw, top + ch))
+        out = tf_resize(np.asarray(img, np.float32), self.size, self.size,
+                        self.interpolation)
         if self.hflip and self.rng.uniform() < self.hflip:
-            from PIL import Image
-
-            img = img.transpose(Image.FLIP_LEFT_RIGHT)
-        return np.asarray(img.convert("RGB"), dtype=np.uint8)
+            out = out[:, ::-1]
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
 class TfPreprocessTransform:

@@ -194,7 +194,10 @@ def _swin_merge_perm(val: np.ndarray) -> np.ndarray:
 
 
 FAMILY_ADAPTERS = {
-    "efficientnet": dict(pair_map=_EFFNET_SE),
+    # conv_{i} children are MixedConv2d's per-kernel-size splits — torch's
+    # MixedConv registers them by bare index (mixed_conv2d.py add_module)
+    "efficientnet": dict(pair_map=_EFFNET_SE,
+                         regex_map=[(r"^conv_(\d+)$", r"\1")]),
     "vit": dict(name_map=_VIT_RENAMES),
     "swin": dict(
         name_map={"patch_embed": "patch_embed.proj",
@@ -541,6 +544,15 @@ def convert_torch_state_dict(
                 val = np.transpose(w, (2, 1, 0))
             else:  # linear
                 val = w.T
+        elif leaf == "experts":
+            # CondConv2d expert bank: torch flattens each expert to one row
+            # [E, O*I/g*kh*kw] (reference cond_conv2d.py get_condconv_initializer
+            # / CondConv2d.weight); ours is [E, kh, kw, I/g, O]
+            w = fetch(f"{tmod}.weight")
+            if w is None:
+                continue
+            e, kh, kw, ci, co = ref.shape
+            val = np.transpose(w.reshape(e, co, ci, kh, kw), (0, 3, 4, 2, 1))
         elif leaf == "scale":
             v = fetch(f"{tmod}.weight")
             if v is None:
