@@ -2,12 +2,16 @@
 README.md:51-52: 224 and 320; default_cfgs 'cot_s'/'cot_l' tiers): chained
 inference throughput + the aggregation dispatch plan per CoT stage.
 
-Run: python -u tools/flagship_bench.py  (real chip; ~3 compiles)
+Run: python -u tools/flagship_bench.py [OUT.json]  (real chip; ~3 compiles)
+Writes the measured table as a JSON artifact (default FLAGSHIP.json in the
+repo root) so flagship numbers are reproducible data, not prose.
 """
+import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -19,17 +23,18 @@ from cotnet_tpu.ops.local_agg_pallas import pallas_plan
 ITERS = 10
 
 
-def dispatch_audit(size):
+def dispatch_audit(size, batch=64):
     """The hybrid chassis aggregates in stage 3 (odd blocks) and stage 4
     (CoTLayer, K=3, share_planes 8); stages stride 2 from a /2 stem."""
-    print(f"  dispatch @ {size}:")
+    plans = {}
     for stage, c in ((3, 256), (4, 512)):
         hw = size // (2 ** (stage + 1))
-        xs = (64, hw, hw, c)
-        ws = (64, hw, hw, 1, 9, c // 8)
-        plan = pallas_plan(xs, ws, 2, (1, 1))
-        print(f"    stage{stage} {hw}x{hw}x{c}: "
-              f"{plan if plan else 'XLA fallback'}")
+        xs = (batch, hw, hw, c)
+        ws = (batch, hw, hw, 1, 9, c // 8)
+        plan = pallas_plan(xs, ws, 2, (1, 1), affine=True)
+        plans[f"stage{stage}_{hw}x{hw}x{c}"] = (
+            list(plan) if plan else "xla")
+    return plans
 
 
 def bench(size, batch=64):
@@ -53,13 +58,29 @@ def bench(size, batch=64):
     t0 = time.perf_counter()
     np.asarray(chained(variables, x).ravel()[0])
     dt = (time.perf_counter() - t0) / ITERS
-    print(f"se_cotnetd_152 @{size} bs{batch} bf16: "
-          f"{dt * 1e3:.2f} ms/batch = {batch / dt:.0f} img/s/chip",
-          flush=True)
+    return dt
+
+
+def main():
+    out = {"model": "se_cotnetd_152", "dtype": "bfloat16",
+           "platform": jax.default_backend(), "batch": 64, "tiers": {}}
+    print(f"devices: {jax.devices()}", flush=True)
+    for size in (224, 256, 320):
+        plans = dispatch_audit(size)
+        dt = bench(size)
+        row = {"ms_per_batch": round(dt * 1e3, 2),
+               "imgs_per_sec_chip": round(64 / dt, 1),
+               "agg_dispatch": plans}
+        out["tiers"][str(size)] = row
+        print(f"se_cotnetd_152 @{size} bs64 bf16: {dt * 1e3:.2f} ms/batch = "
+              f"{64 / dt:.0f} img/s/chip  dispatch={plans}", flush=True)
+    dest = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "FLAGSHIP.json")
+    with open(dest, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {dest}", flush=True)
 
 
 if __name__ == "__main__":
-    print(f"devices: {jax.devices()}", flush=True)
-    for size in (224, 256, 320):
-        dispatch_audit(size)
-        bench(size)
+    main()

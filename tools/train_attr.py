@@ -1,0 +1,88 @@
+"""Per-stage fwd/bwd breakdown of a captured train-step profile.
+
+The JAX profiler's chrome trace carries, per device event, the full jax op
+path (``tf_op``: ``...jvp(ResNet)/...`` forward vs ``transpose(jvp(...))``
+backward), the python source line, the HLO category, and modeled flops /
+bytes.  This aggregates one captured step into the phase x module tables
+VERDICT r2 asked for (weak #2).
+
+Usage:
+  python tools/train_attr.py <trace.json.gz> [iters]
+"""
+import collections
+import gzip
+import json
+import re
+import sys
+
+
+def load_events(path):
+    with gzip.open(path) as f:
+        tr = json.load(f)
+    pid = None
+    for e in tr["traceEvents"]:
+        if (e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in e["args"].get("name", "")):
+            pid = e["pid"]
+            break
+    return [e for e in tr["traceEvents"]
+            if e.get("ph") == "X" and e.get("pid") == pid
+            and "dur" in e and "args" in e]
+
+
+def classify(e):
+    args = e["args"]
+    op = args.get("tf_op", "")
+    src = args.get("source", "")
+    cat = args.get("hlo_category", "")
+    if not op and not src:
+        return None
+    phase = "bwd" if "transpose(" in op else "fwd"
+    # the optimizer update and loss live outside jvp()
+    if "jvp(" not in op:
+        phase = "other"
+    m = re.search(r"(layer\d+_\d+|stem|head|fc)", op + " " + src)
+    where = m.group(1).split("_")[0] if m else "?"
+    m2 = re.search(r"/root/repo/(\S+?):(\d+)", src)
+    sloc = f"{m2.group(1).rsplit('/', 1)[-1]}:{m2.group(2)}" if m2 else "?"
+    return phase, where, cat, sloc, op
+
+
+def main():
+    path = sys.argv[1]
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    evs = load_events(path)
+    leaf = [e for e in evs
+            if e["args"].get("hlo_category", "") not in ("while", "")
+            and not e["name"].startswith(("jit_", "while"))]
+    tot = sum(e["dur"] for e in leaf) / 1e3 / iters
+    print(f"{len(leaf)} leaf events, {tot:.1f} ms/iter device time")
+
+    by_phase = collections.Counter()
+    by_pw = collections.Counter()
+    by_cat = collections.Counter()
+    by_line = collections.Counter()
+    for e in leaf:
+        c = classify(e)
+        if c is None:
+            continue
+        phase, where, cat, sloc, op = c
+        d = e["dur"]
+        by_phase[phase] += d
+        by_pw[(phase, where)] += d
+        by_cat[(phase, cat)] += d
+        by_line[(phase, sloc)] += d
+
+    def show(title, counter, n=100):
+        print(f"---- {title} ----")
+        for k, d in counter.most_common(n):
+            print(f"  {str(k):42s} {d/1e3/iters:8.2f} ms/iter")
+
+    show("phase", by_phase)
+    show("phase x layer-group", by_pw)
+    show("phase x hlo category", by_cat, 24)
+    show("phase x source line (top 30)", by_line, 30)
+
+
+if __name__ == "__main__":
+    main()
