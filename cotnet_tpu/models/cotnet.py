@@ -33,6 +33,7 @@ from cotnet_tpu.nn import (
     get_act_fn,
 )
 from cotnet_tpu.ops import local_aggregate
+from cotnet_tpu.ops.local_agg import local_aggregate_embed_gn
 
 import os as _os
 
@@ -49,6 +50,38 @@ GN_FOLD_TRAIN = _os.environ.get("COTNET_GN_FOLD_TRAIN", "0") == "1"
 
 def _use_fold(training: bool) -> bool:
     return GN_FOLD and (not training or GN_FOLD_TRAIN)
+
+
+# Eval mega-fusion: embed_conv2 + GroupNorm + aggregation as ONE Pallas
+# kernel — the attention weight tensor never exists in HBM (see
+# ops/local_agg_pallas.agg_embed_gn_pallas).  MEASURED OFF (r3,
+# tools/fused_embed_bench.py, bs128 bf16): with the deferred-affine fold
+# already deleting the separate GN pass, the unfused path is not
+# HBM-bound at any cotnet stage — the fused kernel ties at 14/7px
+# (1.00x/1.01x) and loses at 28px (0.67x: the per-image in-kernel dot
+# serializes against XLA's one batched matmul), and 56px exceeds scoped
+# VMEM.  Kept tested (oracle in tests/test_local_agg.py) behind the flag.
+MEGA_FUSE = _os.environ.get("COTNET_MEGA_FUSE", "0") == "1"
+
+
+class _Conv1x1Params(fnn.Module):
+    """Parameter twin of ``Conv2d(features, 1, use_bias=True)``: declares
+    the identical {kernel [1,1,Cin,F], bias [F]} structure (same init) so
+    the fused-eval path can hand the raw weights to the kernel while
+    checkpoints/init remain bit-identical with the unfused module."""
+
+    features: int
+    in_features: int
+
+    @fnn.compact
+    def __call__(self):
+        from cotnet_tpu.nn.conv import kaiming_normal_out
+
+        k = self.param("kernel", kaiming_normal_out,
+                       (1, 1, self.in_features, self.features), jnp.float32)
+        b = self.param("bias", fnn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
 
 default_cfgs = {
     "cotnet50": default_cfg(),
@@ -96,26 +129,39 @@ class CotLayer(fnn.Module):
         qk = jnp.concatenate([x, k], axis=-1)
         w = Conv2d(dim // factor, 1, dtype=self.dtype, name="embed_conv1")(qk)
         w = relu(bn("embed_bn1")(w))
-        w = Conv2d(k2 * cw, 1, use_bias=True, dtype=self.dtype,
-                   name="embed_conv2")(w)
-        fold = _use_fold(training)
-        gn = SubChannelGroupNorm(k2=k2, cw=cw, dtype=self.dtype,
-                                 name="embed_gn", fold=fold)
-        n, h, wd, _ = w.shape
-        if fold:
-            ws, wb = gn(w)  # [n, 1, k2, cw] deferred-normalize affine
-        else:
-            w = gn(w)
-            ws = wb = None
+        n, h, wd = w.shape[0], w.shape[1], w.shape[2]
+        mega = MEGA_FUSE and not training and self.impl != "identity"
 
         # (3) value
         v = Conv2d(dim, 1, dtype=self.dtype, name="conv1x1_conv")(x)
         v = bn("conv1x1_bn")(v)
 
         # (4) dynamic context: fused local aggregation
-        wr = w.reshape(n, h, wd, 1, k2, cw)
-        y = local_aggregate(v, wr, kernel_size=ks, padding=(ks - 1) // 2,
-                            impl=self.impl, w_scale=ws, w_bias=wb)
+        if mega:
+            # eval: embed_conv2 + GN + aggregation in one fused op — the
+            # K^2*Cw weight tensor never reaches HBM on whole-image shapes
+            w2, b2 = _Conv1x1Params(k2 * cw, dim // factor,
+                                    name="embed_conv2")()
+            gscale, gbias = SubChannelGroupNorm(
+                k2=k2, cw=cw, name="embed_gn", raw=True)()
+            y = local_aggregate_embed_gn(
+                v, w, w2.reshape(dim // factor, k2 * cw), b2, gscale, gbias,
+                kernel_size=ks, padding=(ks - 1) // 2, impl=self.impl)
+        else:
+            w = Conv2d(k2 * cw, 1, use_bias=True, dtype=self.dtype,
+                       name="embed_conv2")(w)
+            fold = _use_fold(training)
+            gn = SubChannelGroupNorm(k2=k2, cw=cw, dtype=self.dtype,
+                                     name="embed_gn", fold=fold)
+            if fold:
+                wsc, wbi = gn(w)  # [n, 1, k2, cw] deferred-normalize affine
+            else:
+                w = gn(w)
+                wsc = wbi = None
+            wr = w.reshape(n, h, wd, 1, k2, cw)
+            y = local_aggregate(v, wr, kernel_size=ks,
+                                padding=(ks - 1) // 2, impl=self.impl,
+                                w_scale=wsc, w_bias=wbi)
         y = swish(bn("bn")(y))
 
         # (5) radix-2 fusion of dynamic (y) and static (k) contexts
@@ -168,17 +214,19 @@ class CoXtLayer(fnn.Module):
         w = Conv2d(dim // factor, 1, groups=dw_group, dtype=self.dtype,
                    name="embed_conv1")(qk)
         w = relu(bn("embed_bn1")(w))
-        w = Conv2d(k2 * cw_total, 1, use_bias=True, groups=dw_group,
-                   dtype=self.dtype, name="embed_conv2")(w)
-        fold = _use_fold(training)
-        gn = SubChannelGroupNorm(k2=k2, cw=cw_total, dw_groups=dw_group,
-                                 dtype=self.dtype, name="embed_gn",
-                                 fold=fold)
-        if fold:
-            ws, wb = gn(w)  # [n, dw_group, k2, cw] deferred affine
-        else:
-            w = gn(w)
-            ws = wb = None
+        mega = MEGA_FUSE and not training and self.impl != "identity"
+        if not mega:
+            w = Conv2d(k2 * cw_total, 1, use_bias=True, groups=dw_group,
+                       dtype=self.dtype, name="embed_conv2")(w)
+            fold = _use_fold(training)
+            gn = SubChannelGroupNorm(k2=k2, cw=cw_total, dw_groups=dw_group,
+                                     dtype=self.dtype, name="embed_gn",
+                                     fold=fold)
+            if fold:
+                ws, wb = gn(w)  # [n, dw_group, k2, cw] deferred affine
+            else:
+                w = gn(w)
+                ws = wb = None
 
         v = Conv2d(dim, 1, groups=dw_group, dtype=self.dtype,
                    name="conv1x1_conv")(x)
@@ -190,13 +238,35 @@ class CoXtLayer(fnn.Module):
         outs = []
         gsz = dim // dw_group
         wsz = k2 * cw
-        for gi in range(dw_group):
-            wg = w[..., gi * wsz:(gi + 1) * wsz].reshape(n, h, wd, 1, k2, cw)
-            vg = v[..., gi * gsz:(gi + 1) * gsz]
-            outs.append(local_aggregate(
-                vg, wg, kernel_size=ks, padding=(ks - 1) // 2, impl=self.impl,
-                w_scale=None if ws is None else ws[:, gi:gi + 1],
-                w_bias=None if wb is None else wb[:, gi:gi + 1]))
+        cp = (dim // factor) // dw_group
+        if mega:
+            # grouped fused-eval: the grouped conv2's kernel is
+            # [1, 1, Cin/groups, F]; group g computes output slice g from
+            # input slice g — hand each group's kernel/affine slice to the
+            # fused op
+            w2, b2 = _Conv1x1Params(k2 * cw_total, cp,
+                                    name="embed_conv2")()
+            gscale, gbias = SubChannelGroupNorm(
+                k2=k2, cw=cw_total, dw_groups=dw_group, name="embed_gn",
+                raw=True)()
+            w2f = w2.reshape(cp, k2 * cw_total)
+            for gi in range(dw_group):
+                sl = slice(gi * wsz, (gi + 1) * wsz)
+                outs.append(local_aggregate_embed_gn(
+                    v[..., gi * gsz:(gi + 1) * gsz],
+                    w[..., gi * cp:(gi + 1) * cp],
+                    w2f[:, sl], b2[sl], gscale[sl], gbias[sl],
+                    kernel_size=ks, padding=(ks - 1) // 2, impl=self.impl))
+        else:
+            for gi in range(dw_group):
+                wg = w[..., gi * wsz:(gi + 1) * wsz].reshape(
+                    n, h, wd, 1, k2, cw)
+                vg = v[..., gi * gsz:(gi + 1) * gsz]
+                outs.append(local_aggregate(
+                    vg, wg, kernel_size=ks, padding=(ks - 1) // 2,
+                    impl=self.impl,
+                    w_scale=None if ws is None else ws[:, gi:gi + 1],
+                    w_bias=None if wb is None else wb[:, gi:gi + 1]))
         y = jnp.concatenate(outs, axis=-1)
         y = swish(bn("bn")(y))
 

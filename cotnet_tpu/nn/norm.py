@@ -60,14 +60,19 @@ class SubChannelGroupNorm(fnn.Module):
     epsilon: float = 1e-5
     dtype: Optional[jnp.dtype] = None
     fold: bool = False
+    raw: bool = False   # return (scale, bias) params only (the fused-eval
+    #                     kernel computes stats + normalize on-chip)
 
     @fnn.compact
-    def __call__(self, x):
-        n, h, w, c = x.shape
-        assert c == self.k2 * self.cw, (c, self.k2, self.cw)
+    def __call__(self, x=None):
+        c = self.k2 * self.cw
         cwg = self.cw // self.dw_groups
         scale = self.param("scale", fnn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", fnn.initializers.zeros, (c,), jnp.float32)
+        if self.raw:
+            return scale, bias
+        n, h, w, _ = x.shape
+        assert x.shape[-1] == c, (x.shape, self.k2, self.cw)
 
         xf = x.astype(jnp.float32).reshape(
             n, h, w, self.dw_groups, self.k2, cwg)

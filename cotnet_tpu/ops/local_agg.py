@@ -38,6 +38,8 @@ from __future__ import annotations
 import functools
 from typing import Sequence
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -117,6 +119,59 @@ def _agg_core_xla(xp, w, kernel_size, stride, dilation, w_scale=None,
         wb = wb * sb + bb
     out = jnp.sum(patches.astype(acc_dtype) * wb, axis=4)
     return out.reshape(n, ho, wo, heads * c).astype(xp.dtype)
+
+
+# Custom VJP for the stride-1 XLA core.  Autodiff's transpose of the
+# gather formulation materializes the f32 d_patches tensor ([N,Ho,Wo,K2,C]
+# — 924 MB at 56x56 bs128) and scatter-adds it through a pad/add_any chain;
+# the trace attribution (tools/train_attr.py) measured this at 16.8 ms/iter
+# for cotnet50's stage 1 alone.  This VJP computes both grads gather-style
+# with no K2-sized intermediate:
+#   dw[...,k,:] = sum_g xp[tap_k] * dy          (one fused loop per tap)
+#   dxp        += pad_k(sum_heads w[...,k,:]*dy) (static-offset pad chain)
+# Everything stays in the model dtype until the final f32 accumulation XLA
+# fuses into the consumer loop.
+_XLA_AGG_VJP = _os.environ.get("COTNET_XLA_AGG_VJP", "1") == "1"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _agg_xla_stride1(xp, w, kernel_size, dilation):
+    return _agg_core_xla(xp, w, kernel_size, (1, 1), dilation)
+
+
+def _agg_xla_s1_fwd(xp, w, kernel_size, dilation):
+    return _agg_xla_stride1(xp, w, kernel_size, dilation), (xp, w)
+
+
+def _agg_xla_s1_bwd(kernel_size, dilation, res, dy):
+    xp, w = res
+    n, hp, wpd, c = xp.shape
+    _, ho, wo, heads, k2, cw = w.shape
+    kh, kw = kernel_size
+    dh, dw_ = dilation
+    g = c // cw
+    acc = jnp.promote_types(xp.dtype, jnp.float32)
+    dyh = dy.reshape(n, ho, wo, heads, g, cw).astype(acc)
+
+    dws = []
+    dxp = None
+    for ikh in range(kh):
+        for ikw in range(kw):
+            h0, w0 = ikh * dh, ikw * dw_
+            xs = lax.slice(xp, (0, h0, w0, 0), (n, h0 + ho, w0 + wo, c))
+            xs6 = xs.reshape(n, ho, wo, 1, g, cw).astype(acc)
+            dws.append(jnp.sum(xs6 * dyh, axis=4))  # [n,ho,wo,heads,cw]
+            wk = w[:, :, :, :, ikh * kw + ikw, :].astype(acc)
+            q = jnp.sum(wk[:, :, :, :, None, :] * dyh, axis=3)
+            q = q.reshape(n, ho, wo, c)
+            qp = jnp.pad(q, ((0, 0), (h0, hp - ho - h0),
+                             (w0, wpd - wo - w0), (0, 0)))
+            dxp = qp if dxp is None else dxp + qp
+    dwt = jnp.stack(dws, axis=4)  # [n,ho,wo,heads,k2,cw]
+    return dxp.astype(xp.dtype), dwt.astype(w.dtype)
+
+
+_agg_xla_stride1.defvjp(_agg_xla_s1_fwd, _agg_xla_s1_bwd)
 
 
 def extract_patches(x, kernel_size=3, stride=1, padding=None, dilation=1,
@@ -252,11 +307,91 @@ def local_aggregate(
             if pallas_plan(xp.shape, w.shape, xp.dtype.itemsize):
                 return agg_core_pallas(xp, _apply_affine(w), kernel_size,
                                        dilation, (0, 0))
-            return _agg_core_xla(xp, w, kernel_size, stride, dilation,
-                                 w_scale, w_bias)
+            return _agg_xla(xp, w, kernel_size, stride, dilation,
+                            w_scale, w_bias)
     xp = _pad_input(x, padding, dilation, pad_mode)
+    return _agg_xla(xp, w, kernel_size, stride, dilation, w_scale, w_bias)
+
+
+def _agg_xla(xp, w, kernel_size, stride, dilation, w_scale, w_bias):
+    """XLA core dispatch: the gather-VJP variant for the differentiable
+    stride-1 plain path (the training stage-1 hot spot), the general core
+    otherwise (strided, or the eval-only affine fold, where autodiff never
+    runs)."""
+    if _XLA_AGG_VJP and stride == (1, 1) and w_scale is None:
+        return _agg_xla_stride1(xp, w, kernel_size, dilation)
     return _agg_core_xla(xp, w, kernel_size, stride, dilation, w_scale,
                          w_bias)
+
+
+def local_aggregate_embed_gn(
+    x: jax.Array,
+    w_pre: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    *,
+    kernel_size=3,
+    padding=None,
+    dilation=1,
+    eps: float = 1e-5,
+    impl: str = "auto",
+) -> jax.Array:
+    """Embed-conv + sub-channel GroupNorm + aggregation, fused (eval path).
+
+    Computes ``w = GN(w_pre @ w2 + b2)`` (GroupNorm per (image, cw) over
+    (H, W, K^2), affine gamma/beta per (K^2, Cw) channel — the CoT embed
+    normalize, reference cotnet.py:51-57) and aggregates ``x`` with it.  On
+    TPU whole-image shapes this is ONE Pallas kernel and the weight tensor
+    never exists in HBM; elsewhere it falls back to the XLA composition
+    with the deferred-normalize affine (still fusion-friendly).
+
+    w2: [Cp, K^2*Cw] (flattened 1x1 conv kernel); b2/gamma/beta: [K^2*Cw].
+    """
+    kernel_size = _pair(kernel_size)
+    dilation = _pair(dilation)
+    if padding is None:
+        padding = tuple((d * (k - 1) + 1) // 2
+                        for k, d in zip(kernel_size, dilation))
+    else:
+        padding = _pair(padding)
+    f = w2.shape[-1]
+    k2 = kernel_size[0] * kernel_size[1]
+    cw = f // k2
+    n, hi, wi, c = x.shape
+
+    use_pallas = (jax.default_backend() == "tpu" or impl == "pallas") \
+        and impl != "xla"
+    if use_pallas:
+        from cotnet_tpu.ops.local_agg_pallas import (
+            agg_embed_gn_pallas, fused_embed_plan)
+        if fused_embed_plan(x.shape, w_pre.shape, f, x.dtype.itemsize,
+                            padding):
+            return agg_embed_gn_pallas(x, w_pre, w2, b2, gamma, beta,
+                                       kernel_size, dilation, padding,
+                                       eps=eps)
+
+    # XLA fallback: materialize the conv output once, defer the normalize
+    # into the aggregation (fuses into the multiply-reduce)
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    wr = (jnp.einsum("nhwc,cf->nhwf", w_pre.astype(x.dtype),
+                     w2.astype(x.dtype),
+                     preferred_element_type=acc)
+          + b2.astype(acc)).astype(acc)
+    wrk = wr.reshape(n, hi, wi, k2, cw)
+    mean = jnp.mean(wrk, axis=(1, 2, 3), keepdims=True)
+    mean2 = jnp.mean(jnp.square(wrk), axis=(1, 2, 3), keepdims=True)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)          # [n,1,1,1,cw]
+    gk = gamma.astype(acc).reshape(1, k2, cw)
+    bk = beta.astype(acc).reshape(1, k2, cw)
+    s = (inv[:, 0, 0] * gk)                 # [n,k2,cw]
+    b = bk - mean[:, 0, 0] * s
+    return local_aggregate(
+        x, wr.astype(x.dtype).reshape(n, hi, wi, 1, k2, cw),
+        kernel_size=kernel_size, padding=padding, dilation=dilation,
+        impl=impl, w_scale=s[:, None], w_bias=b[:, None])
 
 
 def local_aggregate_mix(

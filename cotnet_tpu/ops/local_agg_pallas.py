@@ -864,3 +864,207 @@ def _agg_affine_bwd_rule(kernel_size, dilation, padding, res, dy):
 
 
 agg_core_pallas_affine.defvjp(_agg_affine_fwd_rule, _agg_affine_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Inference mega-fusion: embed 1x1 conv -> GroupNorm -> aggregation in ONE
+# kernel (VERDICT r2 next-steps #1's "if it fits" extension).  The attention
+# weight tensor — K^2/share_planes times larger than the image — is computed
+# from the embed mid-activation ON-CHIP: its conv output, GroupNorm
+# statistics, normalize, and consumption by the aggregation all happen in
+# VMEM, so it NEVER exists in HBM in any form.  Per CoT layer this deletes
+# the conv2 output write, the stats read, and the kernel's weight read
+# (~2.5x the weight tensor's bytes), replacing them with one read of the
+# 2.25x-smaller mid tensor.  Eval-only (no VJP): training keeps the
+# materialized path, whose backward measured faster.
+#
+# MEASURED VERDICT (r3, tools/fused_embed_bench.py, bs128 bf16 on the real
+# chip): ties at 14px (1.00x) and 7px (1.01x), LOSES at 28px (0.67x), and
+# 56px exceeds scoped VMEM (20.2 MB vs 16) — once the deferred-affine fold
+# removed the separate GN pass, the unfused path stopped being HBM-bound,
+# and the per-image in-kernel dot can't match XLA's single batched matmul.
+# Gated off by default (models/cotnet.py COTNET_MEGA_FUSE); kept
+# oracle-tested.
+# ---------------------------------------------------------------------------
+
+
+def _fused_rows(ho: int) -> int:
+    """Row-chunk size for the fused kernel's phases: bounds Mosaic's live
+    fp32 temporaries to chunk-sized tensors (a whole-image SSA chain at
+    stage 2 measured 57 MB scoped VMEM vs the 16 MB limit)."""
+    for s in (8, 7, 5, 4, 2, 1):
+        if ho % s == 0:
+            return s
+    return 1
+
+
+def _fused_embed_kernel(x_ref, wp_ref, w2_ref, b2_ref, g_ref, be_ref,
+                        out_ref, xp_ref, wr_ref, *, kh, kw, dh, dw, heads,
+                        g, cw, ho, wo, c, ph, pw, hi, wi, eps):
+    """w_raw = wp @ w2 + b2 (MXU); per-image GroupNorm stats over
+    (Ho, Wo, K^2) per cw lane; aggregate x with the normalized weight.
+    All phases run over row chunks so live temporaries stay chunk-sized."""
+    assert heads == 1
+    k2 = kh * kw
+    out_dtype = out_ref.dtype
+    _fill_padded(x_ref, xp_ref, ph, pw, hi, wi)
+    m = wp_ref.shape[0]
+    w2 = w2_ref[...]
+    b2 = b2_ref[...].astype(jnp.float32)
+    rows = _fused_rows(ho)
+
+    # phase 1a: embed conv (MXU).  Whole-image dot per image by default;
+    # when ho has a multiple-of-8 divisor (sublane-aligned row slices) the
+    # dot runs per row chunk, shrinking its live buffers — this is what
+    # lets the 56x56 stage-1 map fit scoped VMEM.
+    rows_dot = 0
+    for cand in (32, 24, 16, 8):
+        if ho % cand == 0:
+            rows_dot = cand
+            break
+    for i in range(m):
+        if rows_dot and ho > 28:
+            for r0 in range(0, ho, rows_dot):
+                wr_ref[i, r0:r0 + rows_dot] = (jax.lax.dot_general(
+                    wp_ref[i, r0:r0 + rows_dot], w2,
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) + b2[0]).astype(
+                        wr_ref.dtype)
+        else:
+            wr_ref[i] = (jax.lax.dot_general(
+                wp_ref[i], w2, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b2[0]).astype(
+                    wr_ref.dtype)
+    # phase 1b: running GN stats per row chunk
+    s1 = None
+    s2 = None
+    for r0 in range(0, ho, rows):
+        blk = wr_ref[:, r0:r0 + rows].astype(jnp.float32)
+        a = jnp.sum(blk, axis=(1, 2), keepdims=True)
+        b = jnp.sum(blk * blk, axis=(1, 2), keepdims=True)
+        s1 = a if s1 is None else s1 + a
+        s2 = b if s2 is None else s2 + b
+    # fold the k2 tap groups: stats are per cw lane -> [m, 1, 1, cw]
+    sa = None
+    sb = None
+    for k in range(k2):
+        t1 = s1[:, :, :, k * cw:(k + 1) * cw]
+        t2 = s2[:, :, :, k * cw:(k + 1) * cw]
+        sa = t1 if sa is None else sa + t1
+        sb = t2 if sb is None else sb + t2
+    n_el = k2 * ho * wo
+    mean = sa / n_el
+    var = jnp.maximum(sb / n_el - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+
+    # phase 2: normalize + aggregate per row chunk.  gamma/beta arrive as
+    # [K^2, Cw] so each tap is a SUBLANE row slice — lane slicing them
+    # (either on the ref or a loaded value) trips Mosaic's layout checks
+    # at one alignment or another depending on Cw
+    for r0 in range(0, ho, rows):
+        acc = None
+        for ikh in range(kh):
+            for ikw in range(kw):
+                k = ikh * kw + ikw
+                xs = xp_ref[:, r0 + ikh * dh:r0 + ikh * dh + rows,
+                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
+                gk = g_ref[k:k + 1, :].reshape(1, 1, 1, cw)
+                bk = be_ref[k:k + 1, :].reshape(1, 1, 1, cw)
+                wn = ((wr_ref[:, r0:r0 + rows, :, k * cw:(k + 1) * cw]
+                       .astype(jnp.float32) - mean) * (inv * gk) + bk)
+                tap = xs * _tile_lanes(wn, g)
+                acc = tap if acc is None else acc + tap
+        out_ref[:, r0:r0 + rows] = acc.astype(out_dtype)
+
+
+# Budget calibrated against compiler-reported scoped VMEM: the f32-scratch
+# whole-dot variant of the kernel needed 19.5 MB at 56x56x64 (over the
+# 16 MB limit); with the sublane gamma/beta layout the 56x56 map still
+# needs 20.2 MB on hardware, so the plan rejects it explicitly below.
+_FUSED_BUDGET_BYTES = 11 * 1024 * 1024
+
+
+def fused_embed_plan(x_shape, wp_shape, f, itemsize, padding=(0, 0)):
+    """('whole', m) or None for the embed+GN+agg mega-fusion.
+
+    All compute phases are row-chunked (``_fused_rows``), so live fp32
+    temporaries are chunk-sized — even the 56x56 stage-1 map fits, which no
+    other whole-image kernel flavor does."""
+    n, hi, wi, c = x_shape
+    if hi > 28 or wi > 28:
+        # measured: 56x56x64 needs 20.2 MB scoped VMEM (Mosaic keeps the
+        # unrolled row-chunk temporaries live) vs the 16 MB limit
+        return None
+    cp = wp_shape[-1]
+    hp, wp = hi + 2 * padding[0], wi + 2 * padding[1]
+    rows = _fused_rows(hi)
+
+    def ws(m):
+        bufs = (_tiled_bytes((m, hi, wi, c), itemsize)
+                + _tiled_bytes((m, hi, wi, cp), itemsize)
+                + _tiled_bytes((m, hi, wi, c), itemsize)      # out
+                + _tiled_bytes((cp, f), 4)
+                + 3 * _tiled_bytes((1, 1, 1, f), 4))
+        scratch = (_tiled_bytes((m, hp, wp, c), itemsize)
+                   + _tiled_bytes((m, hi, wi, f), itemsize)   # w_raw
+                   + 6 * _tiled_bytes((m, rows, wi, c), 4)    # tap chunks
+                   + 2 * _tiled_bytes((m, rows, wi, f), 4))   # stats chunks
+        return 2 * bufs + scratch
+
+    if ws(1) > _FUSED_BUDGET_BYTES:
+        return None
+    m = 1
+    for cand in (2, 4, 8):
+        if n % cand or ws(cand) > _FUSED_BUDGET_BYTES:
+            break
+        m = cand
+    return ("whole", m)
+
+
+def agg_embed_gn_pallas(x, w_pre, w2, b2, gamma, beta, kernel_size, dilation,
+                        padding, eps=1e-5):
+    """Fused embed-conv + GroupNorm + aggregation forward (eval only).
+
+    x: [N, H, W, C] values; w_pre: [N, H, W, Cp] embed mid-activation;
+    w2: [Cp, K^2*Cw] (the 1x1 embed_conv2 kernel); b2, gamma, beta:
+    [K^2*Cw].  Caller gates on :func:`fused_embed_plan`.
+    """
+    n, hi, wi, c = x.shape
+    f = w2.shape[-1]
+    kh, kw = kernel_size
+    geo = dict(kh=kh, kw=kw, dh=dilation[0], dw=dilation[1], heads=1,
+               g=c // (f // (kh * kw)), cw=f // (kh * kw), ho=hi, wo=wi,
+               c=c, ph=padding[0], pw=padding[1], hi=hi, wi=wi, eps=eps)
+    plan = fused_embed_plan(x.shape, w_pre.shape, f, x.dtype.itemsize,
+                            padding)
+    assert plan is not None, "caller must gate on fused_embed_plan"
+    m = plan[1]
+    hp, wp = hi + 2 * padding[0], wi + 2 * padding[1]
+    k2 = kh * kw
+    cw = f // k2
+    vec = lambda v: v.reshape(1, 1, 1, f).astype(jnp.float32)  # noqa: E731
+    tap2d = lambda v: v.reshape(k2, cw).astype(jnp.float32)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_fused_embed_kernel, **geo),
+        grid=(n // m,),
+        in_specs=[_block(x.shape, m), _block(w_pre.shape, m),
+                  pl.BlockSpec((w2.shape[0], f), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, 1, f), lambda i: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)] + [
+                  pl.BlockSpec((k2, cw), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=_block((n, hi, wi, c), m),
+        out_shape=jax.ShapeDtypeStruct((n, hi, wi, c), x.dtype),
+        # wr scratch holds the conv output in the model dtype — exactly
+        # what the unfused path's GroupNorm reads (its conv also emits the
+        # model dtype); halves the scratch at the big early stages
+        scratch_shapes=[pltpu.VMEM((m, hp, wp, c), x.dtype),
+                        pltpu.VMEM((m, hi, wi, f), x.dtype)],
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * hi * wi * (w_pre.shape[-1] * f
+                                     + kh * kw * c * 2),
+            bytes_accessed=(x.size + w_pre.size + x.size) * x.dtype.itemsize,
+            transcendentals=0),
+    )(x, w_pre, w2.astype(x.dtype), vec(b2), tap2d(gamma), tap2d(beta))

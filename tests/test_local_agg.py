@@ -217,3 +217,75 @@ def test_wloop_kernels_parity():
     finally:
         lap.WLOOP_DISPATCH = old
         lap._VMEM_BUDGET_BYTES = old_budget
+
+
+def test_xla_gather_vjp_matches_autodiff():
+    """The gather-style custom VJP for the stride-1 XLA core (the training
+    stage-1 backward fix: no K^2-sized f32 d_patches materialization, no
+    scatter chain) produces the same grads as plain autodiff of the core."""
+    import jax
+    from cotnet_tpu.ops.local_agg import _agg_core_xla, _agg_xla_stride1
+
+    for (n, h, c, cw, heads, k, d) in [(2, 8, 16, 4, 1, 3, 1),
+                                       (2, 9, 12, 3, 2, 3, 2),
+                                       (1, 11, 8, 8, 1, 5, 1)]:
+        pad = (d * (k - 1) + 1) // 2
+        hp = h + 2 * pad
+        ks = jax.random.split(jax.random.PRNGKey(n + h), 3)
+        xp = jax.random.normal(ks[0], (n, hp, hp, c), jnp.float32)
+        ho = hp - d * (k - 1)
+        w = jax.random.normal(ks[1], (n, ho, ho, heads, k * k, cw),
+                              jnp.float32)
+        dy = jax.random.normal(ks[2], (n, ho, ho, heads * c), jnp.float32)
+
+        def f_ad(xp, w):
+            return _agg_core_xla(xp, w, (k, k), (1, 1), (d, d))
+
+        def f_cv(xp, w):
+            return _agg_xla_stride1(xp, w, (k, k), (d, d))
+
+        assert jnp.allclose(f_ad(xp, w), f_cv(xp, w))
+        g_ad = jax.vjp(f_ad, xp, w)[1](dy)
+        g_cv = jax.vjp(f_cv, xp, w)[1](dy)
+        for a, b in zip(g_ad, g_cv):
+            err = float(jnp.max(jnp.abs(a - b))
+                        / (jnp.max(jnp.abs(a)) + 1e-9))
+            assert err < 1e-5, (n, h, c, cw, heads, k, d, err)
+
+
+def test_embed_gn_fused_vs_composition():
+    """The eval mega-fusion (embed conv + GroupNorm + aggregation in one
+    kernel) matches the unfused composition: conv -> SubChannelGroupNorm
+    semantics -> aggregation."""
+    import jax
+    from cotnet_tpu.ops.local_agg import local_aggregate_embed_gn
+
+    k = jax.random.PRNGKey(0)
+    kx, kp, kw2, kb, kg, kbe = jax.random.split(k, 6)
+    N, H, C, CP, K = 4, 14, 64, 32, 3
+    CW = C // 8
+    F = K * K * CW
+    x = jax.random.normal(kx, (N, H, H, C), jnp.float32)
+    wp = jax.random.normal(kp, (N, H, H, CP), jnp.float32)
+    w2 = jax.random.normal(kw2, (CP, F), jnp.float32) * 0.1
+    b2 = jax.random.normal(kb, (F,), jnp.float32) * 0.1
+    gamma = jax.random.normal(kg, (F,), jnp.float32) * 0.2 + 1.0
+    beta = jax.random.normal(kbe, (F,), jnp.float32) * 0.2
+
+    # oracle: explicit conv -> per-(n, cw) GN over (H, W, K^2) -> aggregate
+    wr = jnp.einsum("nhwc,cf->nhwf", wp, w2) + b2
+    wrk = wr.reshape(N, H, H, K * K, CW)
+    mean = jnp.mean(wrk, axis=(1, 2, 3), keepdims=True)
+    var = jnp.var(wrk, axis=(1, 2, 3), keepdims=True)
+    wn = (wrk - mean) / jnp.sqrt(var + 1e-5)
+    wn = wn * gamma.reshape(1, 1, 1, K * K, CW) + beta.reshape(
+        1, 1, 1, K * K, CW)
+    ref = local_aggregate(x, wn[:, :, :, None], kernel_size=K, padding=1,
+                          impl="xla")
+
+    for impl in ("pallas", "xla"):
+        out = jax.jit(lambda *a: local_aggregate_embed_gn(
+            a[0], a[1], a[2], a[3], a[4], a[5], kernel_size=K, padding=1,
+            impl=impl))(x, wp, w2, b2, gamma, beta)
+        err = float(jnp.max(jnp.abs(out - ref)))
+        assert err < 1e-3, (impl, err)
