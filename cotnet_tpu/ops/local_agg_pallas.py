@@ -114,6 +114,28 @@ def _working_set(x_shape, w_shape, itemsize, padding, m,
     return 2 * bufs + scratch
 
 
+def _dx_gather_working_set(x_shape, w_shape, itemsize, padding, m) -> int:
+    """VMEM bytes for the gather-form dx kernel: w/dy input blocks + dx out
+    (double-buffered), the two zero-padded scratch copies, and the SSA
+    chain's live f32 tap temporaries (unpadded, output-sized)."""
+    n, hi, wi, c = x_shape
+    _, ho, wo, heads, k2, cw = w_shape
+    kspan_h = hi + 2 * padding[0] - ho  # (kh-1)*dh
+    kspan_w = wi + 2 * padding[1] - wo
+    lh = kspan_h - padding[0]
+    lw = kspan_w - padding[1]
+    f = heads * k2 * cw
+    bufs = (_tiled_bytes((m, ho, wo, f), itemsize)
+            + _tiled_bytes((m, ho, wo, heads * c), itemsize)
+            + _tiled_bytes((m, hi, wi, c), itemsize))
+    live_temps = 3 + k2 // 4
+    scratch = (_tiled_bytes((m, ho + 2 * lh, wo + 2 * lw, f), itemsize)
+               + _tiled_bytes((m, ho + 2 * lh, wo + 2 * lw, heads * c),
+                              itemsize)
+               + live_temps * _tiled_bytes((m, hi, wi, c), 4))
+    return 2 * bufs + scratch
+
+
 def fits_vmem(x_shape, w_shape, itemsize, padding=(0, 0),
               affine=False) -> bool:
     """Single-image working set against the VMEM budget; callers fall back
@@ -205,6 +227,15 @@ STRIP_DISPATCH = _os.environ.get("COTNET_AGG_STRIPS", "0") == "1"
 # slower).  Third data point confirming XLA's fusion wins at stage 1;
 # stays available for future tuning via COTNET_AGG_WLOOP=1.
 WLOOP_DISPATCH = _os.environ.get("COTNET_AGG_WLOOP", "0") == "1"
+
+# Gather-form dx kernel (SSA chain over shifted dy/w slices) instead of the
+# scatter-form in-place accumulator — see _dx_gather_kernel.  Default by
+# measurement (tools/dx_bench.py, v5e bf16 bs128).
+DX_GATHER = _os.environ.get("COTNET_DX_GATHER", "1") == "1"
+# Output-map size (ho*wo) above which the gather dx / dot-form dw win over
+# the scatter/slice-loop incumbents (measured crossover between 14x14 and
+# 28x28; tests lower it to force the big-map kernels on small shapes).
+DX_BIG_MAP_MIN = 400
 _WLOOP_GROUP = 2
 _WLOOP_BUDGET_BYTES = 16 * 1024 * 1024
 
@@ -353,6 +384,37 @@ def _dx_kernel(w_ref, dy_ref, dx_ref, acc_ref, **geo):
     _dx_body(w_ref, None, None, dy_ref, dx_ref, acc_ref, **geo)
 
 
+def _dx_gather_kernel(w_ref, dy_ref, dx_ref, wp_ref, dyp_ref, *, kh, kw, dh,
+                      dw, heads, g, cw, ho, wo, c, ph, pw, hi, wi):
+    """Gather-form input cotangent: every tap is a static shifted slice of
+    the zero-padded dy/w VMEM scratches multiplied at the producing output
+    position, accumulated on an SSA chain —
+      dx[i,j,:] = sum_{head,k} dyp[i+(K-1)d-kh*d, ...] * wp[same, tap k]
+    (the transpose of the forward's shifted-slice reads).  This mirrors the
+    forward body's structure; the scatter-style ``_dx_body`` accumulates
+    in-place into an f32 scratch, and that read-modify-write serialization
+    was measured ~2x slower than an SSA chain in the forward (see the
+    _fwd_body note) — the same penalty shows in the backward trace (stage-2
+    dx+dw ~2.3x their HBM floor)."""
+    lh, lw = (kh - 1) * dh - ph, (kw - 1) * dw - pw
+    _fill_padded(dy_ref, dyp_ref, lh, lw, ho, wo)
+    _fill_padded(w_ref, wp_ref, lh, lw, ho, wo)
+    acc = None
+    for head in range(heads):
+        for ikh in range(kh):
+            for ikw in range(kw):
+                k = head * kh * kw + ikh * kw + ikw
+                sh = (kh - 1) * dh - ikh * dh
+                sw = (kw - 1) * dw - ikw * dw
+                dys = dyp_ref[:, sh:sh + hi, sw:sw + wi,
+                              head * c:(head + 1) * c].astype(jnp.float32)
+                wk = wp_ref[:, sh:sh + hi, sw:sw + wi,
+                            k * cw:(k + 1) * cw].astype(jnp.float32)
+                tap = dys * _tile_lanes(wk, g)
+                acc = tap if acc is None else acc + tap
+    dx_ref[...] = acc.astype(dx_ref.dtype)
+
+
 def _dx_kernel_affine(w_ref, s_ref, b_ref, dy_ref, dx_ref, acc_ref, **geo):
     _dx_body(w_ref, s_ref, b_ref, dy_ref, dx_ref, acc_ref, **geo)
 
@@ -377,6 +439,39 @@ def _dw_kernel(x_ref, dy_ref, dw_ref, xp_ref, *, kh, kw, dh, dw, heads, g,
                 for gi in range(1, g):
                     acc = acc + t[:, :, :, gi * cw:(gi + 1) * cw]
                 dw_ref[:, :, :, k * cw:(k + 1) * cw] = acc.astype(out_dtype)
+
+
+def _group_sum_matrix(c, cw):
+    """[C, Cw] 0/1 matrix with M[i, j] = (i % Cw == j): ``t @ M`` sums the
+    G = C/Cw channel groups.  The slice-loop form (``t[..., gi*cw:]`` sums)
+    reduces across 16-lane chunks in lane space — sub-lane-width shuffles the
+    VPU serializes; as a matmul the reduction rides the MXU instead."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (c, cw), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (c, cw), 1)
+    return (ii % cw == jj).astype(jnp.float32)
+
+
+def _dw_kernel_dot(x_ref, dy_ref, dw_ref, xp_ref, *, kh, kw, dh, dw, heads,
+                   g, cw, ho, wo, c, ph, pw, hi, wi):
+    """dw with the per-tap group reduction as an MXU matmul (see
+    _group_sum_matrix) instead of the G-slice SSA loop — the slice loop made
+    dw the slowest backward kernel (isolated 3.50ms at 28x28x128 vs the dx
+    kernels' ~2.4ms and a ~0.6ms HBM floor, tools/dx_bench.py)."""
+    _fill_padded(x_ref, xp_ref, ph, pw, hi, wi)
+    out_dtype = dw_ref.dtype
+    m = x_ref.shape[0]
+    gm = _group_sum_matrix(c, cw)
+    for head in range(heads):
+        dys = dy_ref[:, :, :, head * c:(head + 1) * c].astype(jnp.float32)
+        for ikh in range(kh):
+            for ikw in range(kw):
+                k = head * kh * kw + ikh * kw + ikw
+                xs = xp_ref[:, ikh * dh:ikh * dh + ho,
+                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
+                t = (xs * dys).reshape(m * ho * wo, c)
+                acc = jnp.dot(t, gm, preferred_element_type=jnp.float32)
+                dw_ref[:, :, :, k * cw:(k + 1) * cw] = acc.reshape(
+                    m, ho, wo, cw).astype(out_dtype)
 
 
 def _dw_kernel_affine(x_ref, dy_ref, w_ref, s_ref, dwf_ref, dsf_ref, dbf_ref,
@@ -722,18 +817,43 @@ def _agg_bwd_rule(kernel_size, dilation, padding, res, dy):
         return dx, dwf.reshape(w.shape)
     m = plan[1]
 
-    dx = pl.pallas_call(
-        functools.partial(_dx_kernel, **geo),
-        grid=(n // m,),
-        in_specs=[_block(wf.shape, m), _block((n, ho, wo, heads * c), m)],
-        out_specs=_block(x.shape, m),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        scratch_shapes=[pltpu.VMEM((m, hp, wp, c), jnp.float32)],
-        interpret=_use_interpret(),
-    )(wf, dy)
+    lh = (geo["kh"] - 1) * geo["dh"] - geo["ph"]
+    lw = (geo["kw"] - 1) * geo["dw"] - geo["pw"]
+    # measured dispatch (tools/dx_bench.py, v5e bf16 bs128): the gather dx
+    # and dot-form dw win on large maps (28x28: 2.24 vs 2.44 / 2.43 vs 3.43)
+    # and lose or tie at 14x14 and below, where the incumbents stay
+    big_map = ho * wo >= DX_BIG_MAP_MIN
+    if (DX_GATHER and big_map and lh >= 0 and lw >= 0
+            and _dx_gather_working_set(x.shape, w.shape, x.dtype.itemsize,
+                                       padding, m) <= _VMEM_BUDGET_BYTES):
+        f = wf.shape[-1]
+        dx = pl.pallas_call(
+            functools.partial(_dx_gather_kernel, **geo),
+            grid=(n // m,),
+            in_specs=[_block(wf.shape, m),
+                      _block((n, ho, wo, heads * c), m)],
+            out_specs=_block(x.shape, m),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((m, ho + 2 * lh, wo + 2 * lw, f), w.dtype),
+                pltpu.VMEM((m, ho + 2 * lh, wo + 2 * lw, heads * c),
+                           dy.dtype)],
+            interpret=_use_interpret(),
+        )(wf, dy)
+    else:
+        dx = pl.pallas_call(
+            functools.partial(_dx_kernel, **geo),
+            grid=(n // m,),
+            in_specs=[_block(wf.shape, m),
+                      _block((n, ho, wo, heads * c), m)],
+            out_specs=_block(x.shape, m),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            scratch_shapes=[pltpu.VMEM((m, hp, wp, c), jnp.float32)],
+            interpret=_use_interpret(),
+        )(wf, dy)
 
     dwf = pl.pallas_call(
-        functools.partial(_dw_kernel, **geo),
+        functools.partial(_dw_kernel_dot if big_map else _dw_kernel, **geo),
         grid=(n // m,),
         in_specs=[_block(x.shape, m), _block((n, ho, wo, heads * c), m)],
         out_specs=_block(wf.shape, m),

@@ -289,3 +289,120 @@ def test_embed_gn_fused_vs_composition():
             impl=impl))(x, wp, w2, b2, gamma, beta)
         err = float(jnp.max(jnp.abs(out - ref)))
         assert err < 1e-3, (impl, err)
+
+def test_affine_fold_vjp_matches_composition():
+    """The affine-folded pallas op (aggregate with ``w*s + b``, the GroupNorm
+    deferred-normalize fold) matches pre-applying the affine then running the
+    plain op — forward AND all four cotangents (dx, dw, ds, db).  This is the
+    COTNET_GN_FOLD_TRAIN backward path (one fused dw/ds/db kernel instead of
+    materializing the normalized-weight cotangent for XLA's GN backward)."""
+    import jax
+    from cotnet_tpu.ops.local_agg_pallas import (
+        agg_core_pallas, agg_core_pallas_affine, pallas_plan)
+
+    for (n, h, c, cw, heads, k) in [(2, 14, 64, 8, 1, 3), (2, 8, 32, 4, 2, 3)]:
+        pad = (k - 1) // 2
+        ks = jax.random.split(jax.random.PRNGKey(n * h), 5)
+        x = jax.random.normal(ks[0], (n, h, h, c), jnp.float32)
+        w = jax.random.normal(ks[1], (n, h, h, heads, k * k, cw), jnp.float32)
+        s = jax.random.normal(ks[2], (n, heads, k * k, cw), jnp.float32)
+        b = jax.random.normal(ks[3], (n, heads, k * k, cw), jnp.float32)
+        dy = jax.random.normal(ks[4], (n, h, h, heads * c), jnp.float32)
+        plan = pallas_plan(x.shape, w.shape, 4, (pad, pad), affine=True)
+        assert plan is not None and plan[0] == "whole", plan
+
+        def fused(x, w, s, b):
+            return agg_core_pallas_affine(x, w, s, b, (k, k), (1, 1),
+                                          (pad, pad))
+
+        def composed(x, w, s, b):
+            wn = w * s[:, None, None] + b[:, None, None]
+            return agg_core_pallas(x, wn, (k, k), (1, 1), (pad, pad))
+
+        ya, prim_a = jax.vjp(fused, x, w, s, b)
+        yb, prim_b = jax.vjp(composed, x, w, s, b)
+        assert float(jnp.max(jnp.abs(ya - yb))) < 1e-4
+        for name, ga, gb in zip("x w s b".split(), prim_a(dy), prim_b(dy)):
+            err = float(jnp.max(jnp.abs(ga - gb))
+                        / (jnp.max(jnp.abs(gb)) + 1e-9))
+            assert err < 1e-5, (n, h, name, err)
+
+
+def test_gn_fold_train_model_grads():
+    """CotLayer gradients with the training-mode GroupNorm fold ON equal the
+    unfused path's gradients (same params, same input) — the model-level gate
+    for COTNET_GN_FOLD_TRAIN."""
+    import jax
+    import cotnet_tpu.models.cotnet as cm
+
+    layer = cm.CotLayer(dim=32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 14, 14, 32), jnp.float32)
+    variables = layer.init({"params": jax.random.PRNGKey(1)}, x,
+                           training=True)
+
+    def loss(params, fold):
+        old = (cm.GN_FOLD, cm.GN_FOLD_TRAIN)
+        cm.GN_FOLD, cm.GN_FOLD_TRAIN = fold, fold
+        try:
+            out, _ = layer.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                x, training=True, mutable=["batch_stats"])
+            return jnp.sum(jnp.sin(out))
+        finally:
+            cm.GN_FOLD, cm.GN_FOLD_TRAIN = old
+
+    l0, g0 = jax.value_and_grad(loss)(variables["params"], False)
+    l1, g1 = jax.value_and_grad(loss)(variables["params"], True)
+    assert abs(float(l0 - l1)) / (abs(float(l0)) + 1e-9) < 1e-5, (
+        float(l0), float(l1))
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = {jax.tree_util.keystr(p): v
+             for p, v in jax.tree_util.tree_leaves_with_path(g1)}
+    # Floor the per-leaf normalizer at 1e-3x the global gradient scale:
+    # se_fc1.bias feeds a train-mode BN, so its true gradient is exactly 0
+    # (verified 7e-12 in f64 vs global max 349) — per-leaf max-normalizing a
+    # noise leaf reads as an 0.9 "error" on a correct fold.
+    gmax = max(float(jnp.max(jnp.abs(v))) for _, v in flat0)
+    for p, a in flat0:
+        bq = flat1[jax.tree_util.keystr(p)]
+        err = float(jnp.max(jnp.abs(a - bq))
+                    / (jnp.max(jnp.abs(a)) + 1e-3 * gmax))
+        # w*s+b vs (w-mu)/sigma*gamma+beta is exact algebra but rounds
+        # differently (cancellation near w~mu); f64 check shows ~1e-6
+        # agreement on every non-degenerate leaf
+        assert err < 2e-3, (jax.tree_util.keystr(p), err)
+
+
+def test_dx_gather_vs_scatter_kernels():
+    """Both dx kernel forms — scatter (in-place padded accumulator) and
+    gather (SSA chain over shifted dy/w slices, COTNET_DX_GATHER) — match
+    XLA autodiff grads, incl. dilation>1, heads>1, K=5."""
+    import cotnet_tpu.ops.local_agg_pallas as lap
+
+    old = (lap.DX_GATHER, lap.DX_BIG_MAP_MIN)
+    try:
+        lap.DX_BIG_MAP_MIN = 0  # force the big-map kernels on small shapes
+        for (n, h, c, cw, heads, k, d) in [(2, 14, 64, 8, 1, 3, 1),
+                                           (2, 9, 24, 3, 2, 3, 2),
+                                           (2, 8, 32, 4, 1, 5, 1)]:
+            pad = (d * (k - 1) + 1) // 2
+            ks = jax.random.split(jax.random.PRNGKey(n + h), 2)
+            x = jax.random.normal(ks[0], (n, h, h, c), jnp.float32)
+            w = jax.random.normal(ks[1], (n, h, h, heads, k * k, cw),
+                                  jnp.float32)
+
+            def f(impl):
+                return lambda x, w: jnp.sum(jnp.sin(local_aggregate(
+                    x, w, kernel_size=k, padding=pad, dilation=d, impl=impl)))
+
+            ga = jax.grad(f("xla"), (0, 1))(x, w)
+            for gather in (True, False):
+                lap.DX_GATHER = gather
+                gb = jax.grad(f("pallas"), (0, 1))(x, w)
+                for name, a, b in zip("xw", ga, gb):
+                    rel = float(jnp.abs(a - b).max()
+                                / (jnp.abs(a).max() + 1e-9))
+                    assert rel < 1e-5, (n, h, k, d, gather, name, rel)
+    finally:
+        lap.DX_GATHER, lap.DX_BIG_MAP_MIN = old
