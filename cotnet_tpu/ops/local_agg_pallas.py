@@ -823,7 +823,12 @@ def _agg_bwd_rule(kernel_size, dilation, padding, res, dy):
     # and dot-form dw win on large maps (28x28: 2.24 vs 2.44 / 2.43 vs 3.43)
     # and lose or tie at 14x14 and below, where the incumbents stay
     big_map = ho * wo >= DX_BIG_MAP_MIN
-    if (DX_GATHER and big_map and lh >= 0 and lw >= 0
+    # bf16-only when compiled: Mosaic keeps the K^2 tap slices live across
+    # the SSA chain, which the working-set model can't see — measured 17.34M
+    # scoped vmem at f32 28x28x128 m=1 (OOM at the 16M limit) while bf16
+    # fits and wins; interpret mode (tests) has no vmem and stays open.
+    gather_dtype_ok = x.dtype.itemsize <= 2 or _use_interpret()
+    if (DX_GATHER and big_map and gather_dtype_ok and lh >= 0 and lw >= 0
             and _dx_gather_working_set(x.shape, w.shape, x.dtype.itemsize,
                                        padding, m) <= _VMEM_BUDGET_BYTES):
         f = wf.shape[-1]
@@ -852,8 +857,15 @@ def _agg_bwd_rule(kernel_size, dilation, padding, res, dy):
             interpret=_use_interpret(),
         )(wf, dy)
 
+    # dot-form dw is bf16-only when compiled: the MXU truncates f32
+    # operands to bf16 passes at default precision (measured 2.3e-3 dw
+    # error vs XLA at f32 28x28 on-chip); for bf16 models the truncation
+    # is within the output dtype's own rounding.  Same bf16 gate as the
+    # gather dx (and interpret mode computes exactly, so tests stay open).
+    use_dw_dot = big_map and (x.dtype.itemsize <= 2 or _use_interpret())
     dwf = pl.pallas_call(
-        functools.partial(_dw_kernel_dot if big_map else _dw_kernel, **geo),
+        functools.partial(_dw_kernel_dot if use_dw_dot else _dw_kernel,
+                          **geo),
         grid=(n // m,),
         in_specs=[_block(x.shape, m), _block((n, ho, wo, heads * c), m)],
         out_specs=_block(wf.shape, m),
