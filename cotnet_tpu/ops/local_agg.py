@@ -111,13 +111,20 @@ def _agg_core_xla(xp, w, kernel_size, stride, dilation, w_scale=None,
     patches = jnp.stack(taps, axis=3)  # [N, Ho, Wo, K2, C]
     patches = patches.reshape(n, ho, wo, 1, k2, g, cw)
     wb = w.reshape(n, ho, wo, heads, k2, 1, cw)
-    acc_dtype = jnp.promote_types(xp.dtype, jnp.float32)
-    wb = wb.astype(acc_dtype)
     if w_scale is not None:
+        # the affine (GroupNorm fold) is applied in f32 — scale/bias come
+        # from f32 statistics and w*s+b cancels near w~mu — then rounded
+        # back to the model dtype, exactly the precision the unfused
+        # GroupNorm's output would have (keeping it f32 materializes an
+        # f32 copy of the layer's largest tensor)
+        acc_dtype = jnp.promote_types(xp.dtype, jnp.float32)
         sb = w_scale.reshape(n, 1, 1, heads, k2, 1, cw).astype(acc_dtype)
         bb = w_bias.reshape(n, 1, 1, heads, k2, 1, cw).astype(acc_dtype)
-        wb = wb * sb + bb
-    out = jnp.sum(patches.astype(acc_dtype) * wb, axis=4)
+        wb = (wb.astype(acc_dtype) * sb + bb).astype(xp.dtype)
+    # products in the model dtype, f32 accumulation only (jnp.sum dtype):
+    # upcasting patches/w first materializes f32 copies of the two largest
+    # tensors (see the VJP note below; same measured effect)
+    out = jnp.sum(patches * wb, axis=4, dtype=jnp.float32)
     return out.reshape(n, ho, wo, heads * c).astype(xp.dtype)
 
 
@@ -150,8 +157,12 @@ def _agg_xla_s1_bwd(kernel_size, dilation, res, dy):
     kh, kw = kernel_size
     dh, dw_ = dilation
     g = c // cw
-    acc = jnp.promote_types(xp.dtype, jnp.float32)
-    dyh = dy.reshape(n, ho, wo, heads, g, cw).astype(acc)
+    # Products stay in the model dtype; only the reductions accumulate f32
+    # (jnp.sum dtype) — upcasting dyh/xs to f32 first materializes converted
+    # copies that double the loop's HBM traffic (measured: 6.63 -> 4.80 ms
+    # per stage-1 block fwd+bwd at bs128 bf16, tools/s1_bwd_bench.py; for
+    # f32 inputs the two forms are bit-identical).
+    dyh = dy.reshape(n, ho, wo, heads, g, cw)
 
     dws = []
     dxp = None
@@ -159,10 +170,12 @@ def _agg_xla_s1_bwd(kernel_size, dilation, res, dy):
         for ikw in range(kw):
             h0, w0 = ikh * dh, ikw * dw_
             xs = lax.slice(xp, (0, h0, w0, 0), (n, h0 + ho, w0 + wo, c))
-            xs6 = xs.reshape(n, ho, wo, 1, g, cw).astype(acc)
-            dws.append(jnp.sum(xs6 * dyh, axis=4))  # [n,ho,wo,heads,cw]
-            wk = w[:, :, :, :, ikh * kw + ikw, :].astype(acc)
-            q = jnp.sum(wk[:, :, :, :, None, :] * dyh, axis=3)
+            xs6 = xs.reshape(n, ho, wo, 1, g, cw)
+            dws.append(jnp.sum(xs6 * dyh, axis=4,
+                               dtype=jnp.float32))  # [n,ho,wo,heads,cw]
+            wk = w[:, :, :, :, ikh * kw + ikw, :]
+            q = jnp.sum(wk[:, :, :, :, None, :] * dyh, axis=3,
+                        dtype=jnp.float32)
             q = q.reshape(n, ho, wo, c)
             qp = jnp.pad(q, ((0, 0), (h0, hp - ho - h0),
                              (w0, wpd - wo - w0), (0, 0)))
