@@ -19,10 +19,66 @@ identical to the reference GroupNorm on its own layout.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 from flax import linen as fnn
+
+
+class LeanBatchNorm(fnn.Module):
+    """flax.linen.BatchNorm semantics with traffic-lean arithmetic.
+
+    flax's ``_compute_stats`` materializes an f32 copy of the input (the
+    convert is shared by the mean, the variance, and the normalize, so XLA
+    CSEs it into a standalone pass — measured ~2 ms/step of
+    convert_element_type across cotnet50's BNs at bs128 bf16, plus the
+    backward counterparts).  Here the statistics accumulate in f32 *inside*
+    the reduction loops (``jnp.sum(dtype=f32)`` — squares round in the
+    model dtype, within bf16's own output rounding) and the normalize is a
+    single fused pass ``x * s + b`` with the per-channel affine pre-folded
+    in f32.  Param/variable names, shapes, dtypes, momentum math, psum
+    placement, and fast-variance clamping all match flax BatchNorm, so
+    checkpoints and converted weights are interchangeable.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+    axis_name: Optional[str] = None
+    scale_init: Any = fnn.initializers.ones
+
+    @fnn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (c,), jnp.float32)
+        bias = self.param("bias", fnn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (c,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (c,))
+        red = tuple(range(x.ndim - 1))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            nelem = x.size // c
+            mean = jnp.sum(x, axis=red, dtype=jnp.float32) / nelem
+            mean2 = jnp.sum(jnp.square(x), axis=red,
+                            dtype=jnp.float32) / nelem
+            if self.axis_name is not None and not self.is_initializing():
+                mean = lax.pmean(mean, self.axis_name)
+                mean2 = lax.pmean(mean2, self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        inv = lax.rsqrt(var + self.epsilon) * scale
+        b = bias - mean * inv
+        dt = self.dtype or x.dtype
+        return x.astype(dt) * inv.astype(dt) + b.astype(dt)
 
 
 def batch_norm(x, training: bool, name: str, momentum: float = 0.9,
@@ -33,7 +89,7 @@ def batch_norm(x, training: bool, name: str, momentum: float = 0.9,
     meaningful under shard_map/pmap — under GSPMD jit the stats are global
     already).  A helper fn (not a wrapper Module) so parameter paths stay
     flat: ``<name>/{scale,bias}`` + batch_stats ``<name>/{mean,var}``."""
-    return fnn.BatchNorm(
+    return LeanBatchNorm(
         use_running_average=not training,
         momentum=momentum,
         epsilon=epsilon,
