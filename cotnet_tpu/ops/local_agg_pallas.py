@@ -235,7 +235,7 @@ DX_GATHER = _os.environ.get("COTNET_DX_GATHER", "1") == "1"
 # Output-map size (ho*wo) above which the gather dx / dot-form dw win over
 # the scatter/slice-loop incumbents (measured crossover between 14x14 and
 # 28x28; tests lower it to force the big-map kernels on small shapes).
-DX_BIG_MAP_MIN = 400
+DX_BIG_MAP_MIN = int(_os.environ.get("COTNET_DX_BIG_MAP_MIN", "400"))
 _WLOOP_GROUP = 2
 _WLOOP_BUDGET_BYTES = 16 * 1024 * 1024
 

@@ -65,15 +65,21 @@ def main():
     out = {"model": "se_cotnetd_152", "dtype": "bfloat16",
            "platform": jax.default_backend(), "batch": 64, "tiers": {}}
     print(f"devices: {jax.devices()}", flush=True)
+    # bs64 matches the r2 rows; bs128 probes the platform's ~128-image
+    # wall-time granularity (VERDICT r2 #9: sub-128 batches pay ~2x/image
+    # on the aggregation op — quantify it at the flagship tiers)
     for size in (224, 256, 320):
         plans = dispatch_audit(size)
-        dt = bench(size)
-        row = {"ms_per_batch": round(dt * 1e3, 2),
-               "imgs_per_sec_chip": round(64 / dt, 1),
-               "agg_dispatch": plans}
+        row = {"agg_dispatch": plans}
+        for batch in (64, 128):
+            dt = bench(size, batch)
+            row[f"bs{batch}"] = {"ms_per_batch": round(dt * 1e3, 2),
+                                 "imgs_per_sec_chip": round(batch / dt, 1)}
+            print(f"se_cotnetd_152 @{size} bs{batch} bf16: "
+                  f"{dt * 1e3:.2f} ms/batch = {batch / dt:.0f} img/s/chip",
+                  flush=True)
         out["tiers"][str(size)] = row
-        print(f"se_cotnetd_152 @{size} bs64 bf16: {dt * 1e3:.2f} ms/batch = "
-              f"{64 / dt:.0f} img/s/chip  dispatch={plans}", flush=True)
+        print(f"  dispatch={plans}", flush=True)
     dest = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "FLAGSHIP.json")

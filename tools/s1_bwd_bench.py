@@ -63,6 +63,65 @@ agg_bf16p.defvjp(lambda xp, w, ks, d: (agg_bf16p(xp, w, ks, d), (xp, w)),
                  bf16p_bwd)
 
 
+def _dx_variant_bwd(mode, kernel_size, dilation, res, dy):
+    """dx-side variants; dw side identical to bf16p.
+
+    mode='onesum': per-tap products stay bf16, all 9 padded taps feed ONE
+    jnp.sum(stack, dtype=f32) — no per-tap f32 accumulator round-trip.
+    mode='bf16acc': SSA chain accumulates in bf16 (cheapest traffic,
+    9-term bf16 accumulation error).
+    """
+    xp, w = res
+    n, hp, wpd, c = xp.shape
+    _, ho, wo, heads, k2, cw = w.shape
+    kh, kw = kernel_size
+    dh, dw_ = dilation
+    g = c // cw
+    dyh = dy.reshape(n, ho, wo, heads, g, cw)
+
+    dws = []
+    qs = []
+    dxp = None
+    for ikh in range(kh):
+        for ikw in range(kw):
+            h0, w0 = ikh * dh, ikw * dw_
+            xs = lax.slice(xp, (0, h0, w0, 0), (n, h0 + ho, w0 + wo, c))
+            xs6 = xs.reshape(n, ho, wo, 1, g, cw)
+            dws.append(jnp.sum(xs6 * dyh, axis=4, dtype=jnp.float32))
+            wk = w[:, :, :, :, ikh * kw + ikw, :]
+            q = jnp.sum(wk[:, :, :, :, None, :] * dyh, axis=3,
+                        dtype=jnp.float32)
+            q = q.reshape(n, ho, wo, c).astype(xp.dtype)
+            qp = jnp.pad(q, ((0, 0), (h0, hp - ho - h0),
+                             (w0, wpd - wo - w0), (0, 0)))
+            if mode == "onesum":
+                qs.append(qp)
+            else:
+                dxp = qp if dxp is None else dxp + qp
+    if mode == "onesum":
+        dxp = jnp.sum(jnp.stack(qs), axis=0, dtype=jnp.float32)
+    dwt = jnp.stack(dws, axis=4)
+    return dxp.astype(xp.dtype), dwt.astype(w.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def agg_onesum(xp, w, kernel_size, dilation):
+    return la._agg_core_xla(xp, w, kernel_size, (1, 1), dilation)
+
+
+agg_onesum.defvjp(lambda xp, w, ks, d: (agg_onesum(xp, w, ks, d), (xp, w)),
+                  functools.partial(_dx_variant_bwd, "onesum"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def agg_bf16acc(xp, w, kernel_size, dilation):
+    return la._agg_core_xla(xp, w, kernel_size, (1, 1), dilation)
+
+
+agg_bf16acc.defvjp(lambda xp, w, ks, d: (agg_bf16acc(xp, w, ks, d), (xp, w)),
+                   functools.partial(_dx_variant_bwd, "bf16acc"))
+
+
 def chain_grad(fn):
     @jax.jit
     def chained(x0, w):
@@ -83,6 +142,8 @@ def main():
     variants = {
         "cur": lambda a, b: la._agg_xla_stride1(a, b, (K, K), (1, 1)),
         "bf16p": lambda a, b: agg_bf16p(a, b, (K, K), (1, 1)),
+        "onesum": lambda a, b: agg_onesum(a, b, (K, K), (1, 1)),
+        "bf16acc": lambda a, b: agg_bf16acc(a, b, (K, K), (1, 1)),
         "auto": lambda a, b: la._agg_core_xla(a, b, (K, K), (1, 1), (1, 1)),
     }
     # parity first (vs cur, f32 math)
@@ -91,7 +152,7 @@ def main():
     ws = w[:N // 16].astype(jnp.float32)
     ga = jax.jit(jax.grad(lambda a, b: jnp.sum(
         variants["cur"](a, b) * dyf), (0, 1)))(xs, ws)
-    for name in ("bf16p",):
+    for name in ("bf16p", "onesum", "bf16acc"):
         gb = jax.jit(jax.grad(lambda a, b: jnp.sum(
             variants[name](a, b) * dyf), (0, 1)))(xs, ws)
         for pname, a, b in zip("xw", ga, gb):
