@@ -177,3 +177,51 @@ def test_mixed_conv():
     y2, _ = _init_apply(MixedConv2d(out_channels=16, kernel_sizes=(3, 5, 7),
                                     depthwise=True), x)
     assert y2.shape == (2, 8, 8, 16)
+
+
+def test_lean_batch_norm_matches_flax():
+    """LeanBatchNorm (nn/norm.py) is a drop-in for flax BatchNorm: same
+    param/variable names+shapes, same train-mode statistics and momentum
+    update, same eval normalize (f32: forms agree to reduction-order
+    noise)."""
+    from flax import linen as fnn
+    from cotnet_tpu.nn.norm import LeanBatchNorm
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 6, 6, 8), jnp.float32)
+    lean = LeanBatchNorm(use_running_average=False, momentum=0.9)
+    ref = fnn.BatchNorm(use_running_average=False, momentum=0.9)
+    vl = lean.init(jax.random.PRNGKey(1), x)
+    vr = ref.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(vl) == jax.tree_util.tree_structure(vr)
+
+    # train mode: outputs + updated running stats
+    yl, sl = lean.apply(vl, x, mutable=["batch_stats"])
+    yr, sr = ref.apply(vr, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yl), np.asarray(yr),
+                               atol=1e-5, rtol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(sl["batch_stats"][k]),
+            np.asarray(sr["batch_stats"][k]), atol=1e-6, rtol=1e-6)
+
+    # eval mode with non-trivial running stats
+    stats = {"batch_stats": {"mean": jnp.arange(8, dtype=jnp.float32) * 0.1,
+                             "var": jnp.linspace(0.5, 2.0, 8)}}
+    le = LeanBatchNorm(use_running_average=True)
+    re_ = fnn.BatchNorm(use_running_average=True)
+    ye_l = le.apply({"params": vl["params"], **stats}, x)
+    ye_r = re_.apply({"params": vr["params"], **stats}, x)
+    np.testing.assert_allclose(np.asarray(ye_l), np.asarray(ye_r),
+                               atol=1e-5, rtol=1e-5)
+
+    # gradients through the train-mode normalize agree
+    def loss(mod, v):
+        def f(p):
+            y, _ = mod.apply({**v, "params": p}, x, mutable=["batch_stats"])
+            return jnp.sum(y ** 2)
+        return jax.grad(f)(v["params"])
+    gl, gr = loss(lean, vl), loss(ref, vr)
+    for a, b in zip(jax.tree_util.tree_leaves(gl),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)

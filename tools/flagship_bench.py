@@ -63,7 +63,7 @@ def bench(size, batch=64):
 
 def main():
     out = {"model": "se_cotnetd_152", "dtype": "bfloat16",
-           "platform": jax.default_backend(), "batch": 64, "tiers": {}}
+           "platform": jax.default_backend(), "tiers": {}}
     print(f"devices: {jax.devices()}", flush=True)
     # bs64 matches the r2 rows; bs128 probes the platform's ~128-image
     # wall-time granularity (VERDICT r2 #9: sub-128 batches pay ~2x/image
