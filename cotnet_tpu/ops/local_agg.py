@@ -427,7 +427,28 @@ def local_aggregate_mix(
     and concatenates on channels: output ``[N, Ho, Wo, 2*heads*C]`` ordered
     ``[kernel_idx, head, c]`` — kernel-major, matching the reference output
     ``[N, 2*heads*C, Ho, Wo]`` (test at aggregation_zeropad_mix.py:344-386).
+
+    On the reference's exact geometry (K1=3/K2=5 SAME, stride 1, dilation 1,
+    zero pad — LocalConvolutionMix asserts this, aggregation_zeropad_mix.py
+    :328-329) the TPU path is a SINGLE fused Pallas launch per pass
+    (fwd/dx/dw), mirroring the reference's one-launch CUDA kernels: x is
+    read once for both aggregations and the halves write into one output.
     """
+    fused_geom = (
+        pad_mode == "zeros" and _pair(stride) == (1, 1)
+        and _pair(dilation) == (1, 1)
+        and _pair(kernel_size1) == (3, 3) and _pair(kernel_size2) == (5, 5)
+        and padding1 in (None, 1, (1, 1)) and padding2 in (None, 2, (2, 2))
+        and w1.shape[1:3] == x.shape[1:3] and w2.shape[1:3] == x.shape[1:3]
+        and w1.shape[3:] == (w2.shape[3], 9, w2.shape[5])
+        and w2.shape[4] == 25)
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() == "tpu")
+    if fused_geom and use_pallas:
+        from cotnet_tpu.ops.local_agg_pallas import (
+            agg_core_pallas_mix, mix_plan)
+        if mix_plan(x.shape, w1.shape, w2.shape, x.dtype.itemsize):
+            return agg_core_pallas_mix(x, w1, w2)
     y1 = local_aggregate(
         x, w1, kernel_size=kernel_size1, stride=stride, padding=padding1,
         dilation=dilation, pad_mode=pad_mode, impl=impl)

@@ -1200,3 +1200,193 @@ def agg_embed_gn_pallas(x, w_pre, w2, b2, gamma, beta, kernel_size, dilation,
             bytes_accessed=(x.size + w_pre.size + x.size) * x.dtype.itemsize,
             transcendentals=0),
     )(x, w_pre, w2.astype(x.dtype), vec(b2), tap2d(gamma), tap2d(beta))
+
+
+# ---------------------------------------------------------------------------
+# Single-launch dual-kernel ("mix") aggregation: the 3x3 AND 5x5 weighted
+# aggregations of the SAME input in one kernel per pass, mirroring the
+# reference's fused CUDA kernels (aggregation_zeropad_mix.py:20-74 forward,
+# :76-141 input-grad, :143-207 weight-grad — one launch each).  The fused
+# form reads x once for both kernels (the composed fallback reads it twice)
+# and writes the two output halves into one buffer (no concat pass).
+# Channel order is kernel-major [kernel_idx, head, c], identical to the
+# reference's output layout.  Geometry restrictions match the reference
+# module (LocalConvolutionMix asserts K1=3/K2=5, aggregation_zeropad_mix.py
+# :328-329): stride 1, dilation 1, SAME zero padding, whole-image plan.
+# ---------------------------------------------------------------------------
+
+
+def _mix_working_set(x_shape, w1_shape, w2_shape, itemsize, m) -> int:
+    """VMEM bytes for an m-image mix block: both flat weights + dy-sized
+    I/O (2*heads*C), the pad-2 scratch, and the SSA chains' live f32 taps
+    (the 25-tap chain dominates; same live-temp model as _working_set)."""
+    n, hi, wi, c = x_shape
+    heads, cw = w1_shape[3], w1_shape[5]
+    f1 = heads * w1_shape[4] * cw
+    f2 = heads * w2_shape[4] * cw
+    hp, wp = hi + 4, wi + 4
+    bufs = (_tiled_bytes((m, hi, wi, c), itemsize)
+            + _tiled_bytes((m, hi, wi, f1), itemsize)
+            + _tiled_bytes((m, hi, wi, f2), itemsize)
+            + _tiled_bytes((m, hi, wi, 2 * heads * c), itemsize))
+    live_temps = 3 + (w1_shape[4] + w2_shape[4]) // 4
+    scratch = (_tiled_bytes((m, hp, wp, c), itemsize)
+               + live_temps * _tiled_bytes((m, hp, wp, c), 4))
+    return 2 * bufs + scratch
+
+
+def mix_plan(x_shape, w1_shape, w2_shape, itemsize):
+    """('whole', m) when the fused dual-kernel fits VMEM, else None."""
+    n, hi, wi, c = x_shape
+    if w1_shape[1] != hi or w1_shape[2] != wi or w2_shape[1] != hi:
+        return None
+    if _mix_working_set(x_shape, w1_shape, w2_shape, itemsize,
+                        1) > _VMEM_BUDGET_BYTES:
+        return None
+    m = 1
+    if hi * wi <= 64:
+        for cand in (2, 4, 8, 16):
+            if n % cand != 0 or _mix_working_set(
+                    x_shape, w1_shape, w2_shape, itemsize,
+                    cand) > _VMEM_BUDGET_BYTES:
+                break
+            m = cand
+    return ("whole", m)
+
+
+def _mix_taps(kk, pu):
+    """(tap index, row offset in the pad-`pu` scratch, col offset) for a
+    kk x kk SAME kernel read from the union-padded (pad 2) image."""
+    off = pu - (kk - 1) // 2
+    return [(ikh * kk + ikw, off + ikh, off + ikw)
+            for ikh in range(kk) for ikw in range(kk)]
+
+
+def _mix_fwd_kernel(x_ref, w1_ref, w2_ref, out_ref, xp_ref, *, k1, k2k,
+                    heads, g, cw, ho, wo, c, hi, wi):
+    _fill_padded(x_ref, xp_ref, 2, 2, hi, wi)
+    out_dtype = out_ref.dtype
+    for half, (w_ref, kk) in enumerate(((w1_ref, k1), (w2_ref, k2k))):
+        for head in range(heads):
+            acc = None
+            for k, oh, ow in _mix_taps(kk, 2):
+                xs = xp_ref[:, oh:oh + ho, ow:ow + wo, :].astype(jnp.float32)
+                wk = _tap_weight(w_ref, None, None, head * kk * kk + k, cw)
+                tap = xs * _tile_lanes(wk, g)
+                acc = tap if acc is None else acc + tap
+            ch0 = (half * heads + head) * c
+            out_ref[:, :, :, ch0:ch0 + c] = acc.astype(out_dtype)
+
+
+def _mix_dx_kernel(w1_ref, w2_ref, dy_ref, dx_ref, acc_ref, *, k1, k2k,
+                   heads, g, cw, ho, wo, c, hi, wi):
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for half, (w_ref, kk) in enumerate(((w1_ref, k1), (w2_ref, k2k))):
+        for head in range(heads):
+            ch0 = (half * heads + head) * c
+            dys = dy_ref[:, :, :, ch0:ch0 + c].astype(jnp.float32)
+            for k, oh, ow in _mix_taps(kk, 2):
+                wk = _tap_weight(w_ref, None, None, head * kk * kk + k, cw)
+                contrib = _tile_lanes(wk, g) * dys
+                cur = acc_ref[:, oh:oh + ho, ow:ow + wo, :]
+                acc_ref[:, oh:oh + ho, ow:ow + wo, :] = cur + contrib
+    dx_ref[...] = acc_ref[:, 2:2 + hi, 2:2 + wi, :].astype(dx_ref.dtype)
+
+
+def _mix_dw_kernel(x_ref, dy_ref, dw1_ref, dw2_ref, xp_ref, *, k1, k2k,
+                   heads, g, cw, ho, wo, c, hi, wi):
+    _fill_padded(x_ref, xp_ref, 2, 2, hi, wi)
+    for half, (dw_ref, kk) in enumerate(((dw1_ref, k1), (dw2_ref, k2k))):
+        out_dtype = dw_ref.dtype
+        for head in range(heads):
+            ch0 = (half * heads + head) * c
+            dys = dy_ref[:, :, :, ch0:ch0 + c].astype(jnp.float32)
+            for k, oh, ow in _mix_taps(kk, 2):
+                xs = xp_ref[:, oh:oh + ho, ow:ow + wo, :].astype(jnp.float32)
+                t = xs * dys
+                acc = t[:, :, :, 0:cw]
+                for gi in range(1, g):
+                    acc = acc + t[:, :, :, gi * cw:(gi + 1) * cw]
+                kf = head * kk * kk + k
+                dw_ref[:, :, :, kf * cw:(kf + 1) * cw] = acc.astype(out_dtype)
+
+
+@jax.custom_vjp
+def agg_core_pallas_mix(x, w1, w2):
+    """Fused dual-kernel aggregation: x [N,H,W,C] with w1 (3x3 SAME) and
+    w2 (5x5 SAME) -> [N,H,W,2*heads*C], kernel-major channel order.  Caller
+    gates on ``mix_plan``."""
+    return _mix_fwd_impl(x, w1, w2)
+
+
+def _mix_geo(x, w1, w2):
+    n, hi, wi, c = x.shape
+    heads, cw = w1.shape[3], w1.shape[5]
+    assert w1.shape[4] == 9 and w2.shape[4] == 25, "mix kernel is 3x3 + 5x5"
+    assert w2.shape[3] == heads and w2.shape[5] == cw
+    return dict(k1=3, k2k=5, heads=heads, g=c // cw, cw=cw,
+                ho=hi, wo=wi, c=c, hi=hi, wi=wi)
+
+
+def _mix_fwd_impl(x, w1, w2):
+    geo = _mix_geo(x, w1, w2)
+    n, hi, wi, c = x.shape
+    heads = geo["heads"]
+    plan = mix_plan(x.shape, w1.shape, w2.shape, x.dtype.itemsize)
+    assert plan is not None, "caller must gate on mix_plan"
+    m = plan[1]
+    w1f, w2f = _flat_weight(w1), _flat_weight(w2)
+    return pl.pallas_call(
+        functools.partial(_mix_fwd_kernel, **geo),
+        grid=(n // m,),
+        in_specs=[_block(x.shape, m), _block(w1f.shape, m),
+                  _block(w2f.shape, m)],
+        out_specs=_block((n, hi, wi, 2 * heads * c), m),
+        out_shape=jax.ShapeDtypeStruct((n, hi, wi, 2 * heads * c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((m, hi + 4, wi + 4, c), x.dtype)],
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * hi * wi * heads * 34 * c,
+            bytes_accessed=(x.size + w1f.size + w2f.size
+                            + n * hi * wi * 2 * heads * c)
+            * x.dtype.itemsize,
+            transcendentals=0),
+    )(x, w1f, w2f)
+
+
+def _mix_fwd_rule(x, w1, w2):
+    return _mix_fwd_impl(x, w1, w2), (x, w1, w2)
+
+
+def _mix_bwd_rule(res, dy):
+    x, w1, w2 = res
+    geo = _mix_geo(x, w1, w2)
+    n, hi, wi, c = x.shape
+    heads = geo["heads"]
+    plan = mix_plan(x.shape, w1.shape, w2.shape, x.dtype.itemsize)
+    m = plan[1]
+    w1f, w2f = _flat_weight(w1), _flat_weight(w2)
+    dx = pl.pallas_call(
+        functools.partial(_mix_dx_kernel, **geo),
+        grid=(n // m,),
+        in_specs=[_block(w1f.shape, m), _block(w2f.shape, m),
+                  _block(dy.shape, m)],
+        out_specs=_block(x.shape, m),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((m, hi + 4, wi + 4, c), jnp.float32)],
+        interpret=_use_interpret(),
+    )(w1f, w2f, dy)
+    dw1f, dw2f = pl.pallas_call(
+        functools.partial(_mix_dw_kernel, **geo),
+        grid=(n // m,),
+        in_specs=[_block(x.shape, m), _block(dy.shape, m)],
+        out_specs=[_block(w1f.shape, m), _block(w2f.shape, m)],
+        out_shape=[jax.ShapeDtypeStruct(w1f.shape, w1.dtype),
+                   jax.ShapeDtypeStruct(w2f.shape, w2.dtype)],
+        scratch_shapes=[pltpu.VMEM((m, hi + 4, wi + 4, c), x.dtype)],
+        interpret=_use_interpret(),
+    )(x, dy)
+    return dx, dw1f.reshape(w1.shape), dw2f.reshape(w2.shape)
+
+
+agg_core_pallas_mix.defvjp(_mix_fwd_rule, _mix_bwd_rule)

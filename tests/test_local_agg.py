@@ -409,3 +409,55 @@ def test_dx_gather_vs_scatter_kernels():
                     assert rel < 1e-5, (n, h, k, d, gather, name, rel)
     finally:
         lap.DX_GATHER, lap.DX_BIG_MAP_MIN = old
+
+
+def test_mix_fused_single_launch():
+    """The fused dual-kernel path (impl='pallas' on the reference's exact
+    K1=3/K2=5 SAME geometry — one launch per pass like the reference's
+    aggregation_zeropad_mix.py:20-74 CUDA kernels): forward matches the
+    brute-force oracle AND the composed formulation; both grads match the
+    composed path's."""
+    from cotnet_tpu.ops.local_agg_pallas import mix_plan
+
+    n, c, cw, hi = 2, 8, 4, 6
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(n, hi, hi, c).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(n, hi, hi, 1, 9, cw).astype(np.float32))
+    w2 = jnp.asarray(rng.randn(n, hi, hi, 1, 25, cw).astype(np.float32))
+    assert mix_plan(x.shape, w1.shape, w2.shape, 4) is not None
+
+    y_f = local_aggregate_mix(x, w1, w2, impl="pallas")
+    r1 = oracle_agg(np.asarray(x, np.float64), np.asarray(w1, np.float64),
+                    3, 1, 1, 1)
+    r2 = oracle_agg(np.asarray(x, np.float64), np.asarray(w2, np.float64),
+                    5, 1, 2, 1)
+    np.testing.assert_allclose(np.asarray(y_f), np.concatenate([r1, r2], -1),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(fn):
+        def f(x, w1, w2):
+            return jnp.sum(fn(x, w1, w2).astype(jnp.float32) ** 2)
+        return jax.grad(f, argnums=(0, 1, 2))
+
+    g_f = loss(lambda *a: local_aggregate_mix(*a, impl="pallas"))(x, w1, w2)
+    g_x = loss(lambda *a: local_aggregate_mix(*a, impl="xla"))(x, w1, w2)
+    for name, a, b in zip(("dx", "dw1", "dw2"), g_f, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+    # merge variant routes through the same fused kernel
+    wm = jnp.concatenate([w1, w2], axis=4)
+    ym = local_aggregate_mix_merge(x, wm, impl="pallas")
+    np.testing.assert_allclose(np.asarray(ym), np.asarray(y_f),
+                               rtol=1e-6, atol=1e-6)
+
+    # multi-head + grouped channels exercise the kernel-major halves
+    w1h = jnp.asarray(rng.randn(n, hi, hi, 2, 9, cw).astype(np.float32))
+    w2h = jnp.asarray(rng.randn(n, hi, hi, 2, 25, cw).astype(np.float32))
+    yh = local_aggregate_mix(x, w1h, w2h, impl="pallas")
+    o1 = oracle_agg(np.asarray(x, np.float64), np.asarray(w1h, np.float64),
+                    3, 1, 1, 1)
+    o2 = oracle_agg(np.asarray(x, np.float64), np.asarray(w2h, np.float64),
+                    5, 1, 2, 1)
+    np.testing.assert_allclose(np.asarray(yh), np.concatenate([o1, o2], -1),
+                               rtol=1e-4, atol=1e-4)
