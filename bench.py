@@ -13,7 +13,7 @@ model, same numerics.
 
 import json
 import os
-import signal
+import subprocess
 import sys
 import time
 
@@ -25,24 +25,41 @@ _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       ".bench_cache.json")
 
 
-def _watchdog(seconds: int):
-    """The TPU tunnel's remote-compile occasionally wedges (a killed
-    process's device claim lingers).  If the bench exceeds the deadline,
-    emit the last successful result marked stale rather than nothing."""
-    def on_alarm(signum, frame):
-        if os.path.exists(_CACHE):
-            with open(_CACHE) as f:
-                cached = json.load(f)
-            cached["stale"] = True
-            print(json.dumps(cached))
-            os._exit(0)
-        print(json.dumps({"metric": "cotnet50_224_bs128_bf16_infer_imgs_per_sec_chip",
-                          "value": 0.0, "unit": "images/sec/chip",
-                          "vs_baseline": 0.0, "error": "bench timed out"}))
-        os._exit(1)
+def _emit_stale(reason: str) -> int:
+    if os.path.exists(_CACHE):
+        with open(_CACHE) as f:
+            cached = json.load(f)
+        cached["stale"] = True
+        cached["stale_reason"] = reason
+        print(json.dumps(cached))
+        return 0
+    print(json.dumps({"metric": "cotnet50_224_bs128_bf16_infer_imgs_per_sec_chip",
+                      "value": 0.0, "unit": "images/sec/chip",
+                      "vs_baseline": 0.0, "error": reason}))
+    return 1
 
-    signal.signal(signal.SIGALRM, on_alarm)
-    signal.alarm(seconds)
+
+def _supervise() -> int:
+    """The TPU tunnel occasionally wedges (a killed process's device claim
+    lingers) — and it wedges inside GIL-holding PJRT calls, where a SIGALRM
+    handler never gets to run.  So the watchdog is a *supervisor process*:
+    re-exec this script as a child with a deadline; on timeout, kill the
+    child by pid and emit the last successful result marked stale."""
+    deadline = int(os.environ.get("BENCH_TIMEOUT_S", "1500"))
+    env = dict(os.environ, BENCH_CHILD="1")
+    child = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                             stdout=subprocess.PIPE, env=env)
+    try:
+        out, _ = child.communicate(timeout=deadline)
+    except subprocess.TimeoutExpired:
+        child.kill()
+        child.wait()
+        return _emit_stale(f"bench timed out after {deadline}s")
+    sys.stdout.buffer.write(out)
+    sys.stdout.flush()
+    if child.returncode != 0 and not out.strip():
+        return _emit_stale(f"bench child exited {child.returncode}")
+    return child.returncode
 
 
 def _zeros_like_tree(tree_shapes):
@@ -196,7 +213,6 @@ def timeit(chained, variables, x, iters):
 
 
 def main():
-    _watchdog(int(os.environ.get("BENCH_TIMEOUT_S", "1500")))
     batch, size, iters = 128, 224, 20
     dtype = jnp.bfloat16
 
@@ -249,7 +265,6 @@ def main():
                    "ideal_traffic_gb": round(traffic_gb, 3),
                    "platform": jax.default_backend()},
     }
-    signal.alarm(0)
     try:
         with open(_CACHE, "w") as f:
             json.dump(result, f)
@@ -259,4 +274,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") == "1":
+        main()
+    else:
+        sys.exit(_supervise())
