@@ -5,7 +5,13 @@ from cotnet_tpu.train.loss import (
     label_smoothing_cross_entropy,
     soft_target_cross_entropy,
 )
-from cotnet_tpu.train.optim import adamp, create_optimizer, sgdp, wd_mask
+from cotnet_tpu.train.optim import (
+    adamp,
+    create_optimizer,
+    sgdp,
+    sync_lookahead,
+    wd_mask,
+)
 from cotnet_tpu.train.schedule import (
     PlateauController,
     cosine_schedule,

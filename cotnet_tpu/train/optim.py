@@ -167,6 +167,33 @@ def lookahead(inner: optax.GradientTransformation, sync_period: int = 6,
     return optax.GradientTransformation(init, update)
 
 
+def sync_lookahead(state, alpha: float = 0.5):
+    """Epoch-end forced lookahead sync (reference train.py:295-296 ->
+    optim/lookahead.py:29-43): slow += alpha * (fast - slow); fast = slow —
+    so the end-of-epoch eval/checkpoint sees the slow-merged weights
+    regardless of where the step counter sits in the sync period.
+
+    Takes and returns a TrainState; a no-op when the optimizer chain has no
+    lookahead wrapper.  ``alpha`` must match the wrapper's (create_optimizer
+    always builds lookahead with alpha=0.5, as the reference does).
+    """
+    is_la = lambda x: isinstance(x, _LookaheadState)  # noqa: E731
+    las = [s for s in jax.tree.leaves(state.opt_state, is_leaf=is_la)
+           if is_la(s)]
+    if not las:
+        return state
+    st = las[0]
+    new_slow = jax.tree.map(lambda s, p: s + alpha * (p.astype(s.dtype) - s),
+                            st.slow, state.params)
+    new_params = jax.tree.map(lambda s, p: s.astype(p.dtype),
+                              new_slow, state.params)
+    new_opt = jax.tree.map(
+        lambda x: _LookaheadState(x.inner, new_slow, x.count) if is_la(x)
+        else x,
+        state.opt_state, is_leaf=is_la)
+    return state.replace(params=new_params, opt_state=new_opt)
+
+
 class _AdaHessianState(NamedTuple):
     exp_avg: Any
     exp_hessian_sq: Any

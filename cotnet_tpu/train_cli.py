@@ -124,7 +124,7 @@ def main(argv=None):
     from cotnet_tpu.parallel.mesh import replicated
     from cotnet_tpu.train import (
         TrainState, create_loss_fn, create_optimizer, create_scheduler,
-        make_train_step)
+        make_train_step, sync_lookahead)
     from cotnet_tpu.utils.checkpoint import CheckpointSaver
     from cotnet_tpu.utils.logger import logger_info, setup_default_logging
     from cotnet_tpu.utils.meters import TrainMeter
@@ -269,6 +269,9 @@ def main(argv=None):
                                  float(metrics["lr"]))
                 meter.log_iter_stats(epoch, it)
 
+            # epoch-end forced lookahead sync (reference train.py:295-296):
+            # eval + checkpoint on the slow-merged weights
+            state = sync_lookahead(state)
             results = evaler(epoch, state)
             if evaler_ema is not None:
                 ema_results = evaler_ema(epoch, state)

@@ -102,6 +102,43 @@ def test_optimizers_run(opt):
     assert float(jnp.abs(new["w"] - params["w"]).sum()) > 0
 
 
+def test_sync_lookahead_epoch_end():
+    """Forced epoch-end sync (reference train.py:295-296 ->
+    optim/lookahead.py:29-43): slow += alpha*(fast-slow), fast = slow, at
+    ANY point in the sync period; no-op without a lookahead wrapper."""
+    from cotnet_tpu.train import TrainState, sync_lookahead
+
+    params = {"w": jnp.ones((4, 4))}
+    tx = create_optimizer(dict(opt="lookahead_sgd", weight_decay=0.0), 0.1,
+                          params)
+    state = TrainState.create({"params": params}, tx)
+    grads = {"w": jnp.full((4, 4), 2.0)}
+    # two inner steps (< sync_period=6): slow stays at init, fast moves
+    p = state.params
+    opt = state.opt_state
+    for _ in range(2):
+        updates, opt = tx.update(grads, opt, p)
+        p = optax.apply_updates(p, updates)
+    state = state.replace(params=p, opt_state=opt)
+    fast = state.params["w"]
+    assert float(jnp.abs(fast - 1.0).max()) > 0
+
+    synced = sync_lookahead(state)
+    expect = 1.0 + 0.5 * (fast - 1.0)  # slow(init)=1 + alpha*(fast-slow)
+    assert jnp.allclose(synced.params["w"], expect, atol=1e-6)
+    # the stored slow buffer equals the new fast weights
+    from cotnet_tpu.train.optim import _LookaheadState
+    la = [s for s in jax.tree_util.tree_leaves(
+        synced.opt_state, is_leaf=lambda x: isinstance(x, _LookaheadState))
+        if isinstance(s, _LookaheadState)]
+    assert jnp.allclose(la[0].slow["w"], expect, atol=1e-6)
+
+    # no lookahead -> identity
+    tx2 = create_optimizer(dict(opt="sgd", weight_decay=0.0), 0.1, params)
+    state2 = TrainState.create({"params": params}, tx2)
+    assert sync_lookahead(state2) is state2
+
+
 def test_wd_masking_sgd():
     """1-d params must not be weight-decayed (optim_factory.py:19-32)."""
     params = {"w": jnp.ones((4, 4)), "b": jnp.ones((4,))}
