@@ -39,6 +39,8 @@ def parse_args(argv=None):
                    help="override input resolution (smoke mode)")
     p.add_argument("--batch-size", type=int, default=0,
                    help="override train/val batch size (smoke mode)")
+    p.add_argument("--model", default="",
+                   help="override model.name (smoke mode)")
     return p.parse_args(argv)
 
 
@@ -130,6 +132,8 @@ def main(argv=None):
     from cotnet_tpu.utils.meters import TrainMeter
 
     cfg = load_experiment(args.folder)
+    if args.model:
+        cfg["model"]["name"] = args.model
     if args.epochs:
         cfg["solver"]["epochs"] = args.epochs
     if args.batch_size:
