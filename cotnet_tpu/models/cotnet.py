@@ -52,6 +52,22 @@ def _use_fold(training: bool) -> bool:
     return GN_FOLD and (not training or GN_FOLD_TRAIN)
 
 
+# key_embed grouped conv as dense block-diagonal (full-width MXU wgrad at
+# the cost of groups x FLOPs) — opt-in, measured per shape on chip
+DENSE_GROUPED = _os.environ.get("COTNET_DENSE_GROUPED", "0") == "1"
+
+
+def _key_embed_conv(dim, ks, groups, dtype):
+    if DENSE_GROUPED:
+        from cotnet_tpu.nn.conv import DenseGroupedConv, normalize_padding
+        return DenseGroupedConv(
+            features=dim, kernel_size=(ks, ks),
+            padding=normalize_padding(ks // 2, ks, 1, 1),
+            groups=groups, dtype=dtype, name="key_embed_conv")
+    return Conv2d(dim, ks, 1, ks // 2, groups=groups, dtype=dtype,
+                  name="key_embed_conv")
+
+
 # Eval mega-fusion: embed_conv2 + GroupNorm + aggregation as ONE Pallas
 # kernel — the attention weight tensor never exists in HBM (see
 # ops/local_agg_pallas.agg_embed_gn_pallas).  MEASURED OFF (r3,
@@ -121,8 +137,7 @@ class CotLayer(fnn.Module):
                 axis_name=self.axis_name)
 
         # (1) static context: grouped KxK conv (groups=4) + BN + ReLU
-        k = Conv2d(dim, ks, 1, ks // 2, groups=4, dtype=self.dtype,
-                   name="key_embed_conv")(x)
+        k = _key_embed_conv(dim, ks, 4, self.dtype)(x)
         k = relu(bn("key_embed_bn")(k))
 
         # (2) attention embed from [x; k]
@@ -205,8 +220,7 @@ class CoXtLayer(fnn.Module):
                 y, training, name=name, dtype=self.dtype,
                 axis_name=self.axis_name)
 
-        k = Conv2d(dim, ks, 1, ks // 2, groups=8, dtype=self.dtype,
-                   name="key_embed_conv")(x)
+        k = _key_embed_conv(dim, ks, 8, self.dtype)(x)
         k = relu(bn("key_embed_bn")(k))
 
         # interleaved [x_c, k_c] pairs (reference cotnet.py:153-154)

@@ -85,6 +85,62 @@ def Conv2d(features: int,
     )
 
 
+class DenseGroupedConv(fnn.Module):
+    """Grouped conv computed as a dense conv with a block-diagonal kernel.
+
+    XLA lowers a grouped conv's wgrad to per-group contractions whose
+    contracting dim is ``cin/groups`` lanes — at cotnet's key_embed shapes
+    (e.g. 64ch/4 groups = 16-lane contractions) that underfills the 128-wide
+    MXU.  Scattering the grouped kernel into a dense [kh,kw,cin,cout]
+    block-diagonal kernel costs ``groups``x the FLOPs but runs full-width;
+    whether that wins is shape-dependent, so this is opt-in per call site
+    (models gate it on COTNET_DENSE_GROUPED, measured on chip).
+
+    The parameter keeps the grouped shape/path (``<name>/kernel``,
+    [kh,kw,cin/groups,cout]) so checkpoints and the torch converter are
+    unaffected; gradients flow through the scatter (a gather in reverse).
+    Semantics identical to ``fnn.Conv(feature_group_count=groups)``.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    kernel_dilation: Tuple[int, int] = (1, 1)
+    groups: int = 1
+    use_bias: bool = False
+    dtype: Optional[Dtype] = None
+    kernel_init: Callable = kaiming_normal_out
+
+    @fnn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        g = self.groups
+        cig, cog = cin // g, self.features // g
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, cig, self.features), jnp.float32)
+        dt = self.dtype or x.dtype
+        k = kernel.astype(dt)
+        dense = jnp.zeros((kh, kw, cin, self.features), dt)
+        for gi in range(g):
+            dense = dense.at[:, :, gi * cig:(gi + 1) * cig,
+                             gi * cog:(gi + 1) * cog].set(
+                k[:, :, :, gi * cog:(gi + 1) * cog])
+        pad = self.padding
+        if isinstance(pad, tuple):
+            pad = list(pad)
+        y = lax.conv_general_dilated(
+            x.astype(dt), dense, self.strides, pad,
+            rhs_dilation=self.kernel_dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", fnn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(dt)
+        return y
+
+
 class ConvBnAct(fnn.Module):
     """conv + BN + act (reference models/layers/conv_bn_act.py)."""
 

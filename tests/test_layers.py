@@ -225,3 +225,63 @@ def test_lean_batch_norm_matches_flax():
                     jax.tree_util.tree_leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_dense_grouped_conv_matches_grouped():
+    """DenseGroupedConv (block-diagonal dense kernel, COTNET_DENSE_GROUPED)
+    computes exactly fnn.Conv(feature_group_count=g): same param tree, same
+    outputs, same grads — only the lowering differs (full-width MXU wgrad
+    vs per-group contractions)."""
+    from flax import linen as fnn
+
+    from cotnet_tpu.nn.conv import DenseGroupedConv
+
+    n, h, cin, cout, g, ks = 2, 10, 16, 16, 4, 3
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, h, h, cin), jnp.float32)
+    dense = DenseGroupedConv(features=cout, kernel_size=(ks, ks),
+                             padding=((1, 1), (1, 1)), groups=g,
+                             use_bias=True)
+    ref = fnn.Conv(features=cout, kernel_size=(ks, ks), padding=1,
+                   feature_group_count=g, use_bias=True)
+    v = dense.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(
+        v["params"]) == jax.tree_util.tree_structure(
+        ref.init(jax.random.PRNGKey(1), x)["params"])
+
+    yd = dense.apply(v, x)
+    yr = ref.apply(v, x)
+    np.testing.assert_allclose(np.asarray(yd), np.asarray(yr),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(mod):
+        def f(p, xx):
+            return jnp.sum(mod.apply({"params": p}, xx) ** 2)
+        return jax.grad(f, argnums=(0, 1))(v["params"], x)
+
+    gd, gr_ = loss(dense), loss(ref)
+    for a, b in zip(jax.tree_util.tree_leaves(gd),
+                    jax.tree_util.tree_leaves(gr_)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_cotnet_dense_grouped_gate():
+    """The COTNET_DENSE_GROUPED gate swaps the key_embed lowering without
+    changing the param tree or (up to rounding) the outputs."""
+    import cotnet_tpu.models.cotnet as cm
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 32), jnp.float32)
+    layer = cm.CotLayer(dim=32)
+    v = layer.init({"params": jax.random.PRNGKey(1)}, x, training=False)
+    y0 = layer.apply(v, x, training=False)
+    old = cm.DENSE_GROUPED
+    cm.DENSE_GROUPED = True
+    try:
+        v1 = layer.init({"params": jax.random.PRNGKey(1)}, x, training=False)
+        assert jax.tree_util.tree_structure(v1) == \
+            jax.tree_util.tree_structure(v)
+        y1 = layer.apply(v, x, training=False)
+    finally:
+        cm.DENSE_GROUPED = old
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=2e-5, rtol=2e-5)
