@@ -19,12 +19,81 @@ identical to the reference GroupNorm on its own layout.
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 from flax import linen as fnn
+
+# Hand-fused BN training backward (see _bn_train_core): exactly two passes
+# over the activation instead of XLA autodiff's chain of broadcast/convert
+# fusions.  Default from env; A/B'd on chip via tools/train_ab_bench.py.
+BN_FUSED_BWD = os.environ.get("COTNET_BN_FUSED_BWD", "0") == "1"
+
+
+def _bn_stats(x, eps):
+    c = x.shape[-1]
+    nelem = x.size // c
+    red = tuple(range(x.ndim - 1))
+    mean = jnp.sum(x, axis=red, dtype=jnp.float32) / nelem
+    mean2 = jnp.sum(jnp.square(x), axis=red, dtype=jnp.float32) / nelem
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    return mean, var, lax.rsqrt(var + eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bn_train_core(x, scale, bias, eps):
+    """Train-mode batch norm with a hand-fused backward.
+
+    Returns (y, mean, var); mean/var feed the (non-differentiated) running-
+    stat EMA, so their cotangents are zero and the backward is the closed
+    form: dgamma = sum(dy*xhat), dbeta = sum(dy),
+    dx = gamma*invstd*(dy - mean(dy) - xhat*mean(dy*xhat)) — one reduction
+    pass over (dy, x) and one elementwise pass writing dx, vs XLA autodiff's
+    separate broadcast/convert chains through the statistics
+    (~10 ms/step across cotnet50's BNs in the r3 trace, tools/train_attr.py).
+    Single-process/GSPMD only: under jit the internal reductions become
+    global collectives automatically; the explicit axis_name (shard_map)
+    path keeps the autodiff form.
+    """
+    y, mean, var, _ = _bn_train_fwd_impl(x, scale, bias, eps)
+    return y, mean, var
+
+
+def _bn_train_fwd_impl(x, scale, bias, eps):
+    mean, var, invstd = _bn_stats(x, eps)
+    inv = invstd * scale
+    b = bias - mean * inv
+    dt = x.dtype
+    y = x * inv.astype(dt) + b.astype(dt)
+    return y, mean, var, invstd
+
+
+def _bn_train_fwd_rule(x, scale, bias, eps):
+    y, mean, var, invstd = _bn_train_fwd_impl(x, scale, bias, eps)
+    return (y, mean, var), (x, scale, mean, invstd)
+
+
+def _bn_train_bwd_rule(eps, res, cts):
+    dy = cts[0]  # mean/var cotangents are zero (non-diff EMA update)
+    x, scale, mean, invstd = res
+    c = x.shape[-1]
+    nelem = x.size // c
+    red = tuple(range(x.ndim - 1))
+    dyf = dy.astype(jnp.float32)
+    xhat = (x.astype(jnp.float32) - mean) * invstd
+    sum_dy = jnp.sum(dyf, axis=red)
+    sum_dyx = jnp.sum(dyf * xhat, axis=red)
+    k = (scale * invstd).astype(jnp.float32)
+    dx = (k * (dyf - sum_dy / nelem - xhat * (sum_dyx / nelem))).astype(
+        x.dtype)
+    return dx, sum_dyx.astype(scale.dtype), sum_dy.astype(scale.dtype)
+
+
+_bn_train_core.defvjp(_bn_train_fwd_rule, _bn_train_bwd_rule)
 
 
 class LeanBatchNorm(fnn.Module):
@@ -60,8 +129,16 @@ class LeanBatchNorm(fnn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda s: jnp.ones(s, jnp.float32), (c,))
         red = tuple(range(x.ndim - 1))
+        dt = self.dtype or x.dtype
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
+        elif (BN_FUSED_BWD and self.axis_name is None and dt == x.dtype
+              and not self.is_initializing()):
+            y, mean, var = _bn_train_core(x, scale, bias, self.epsilon)
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * mean
+            ra_var.value = m * ra_var.value + (1 - m) * var
+            return y
         else:
             nelem = x.size // c
             mean = jnp.sum(x, axis=red, dtype=jnp.float32) / nelem
@@ -77,7 +154,6 @@ class LeanBatchNorm(fnn.Module):
                 ra_var.value = m * ra_var.value + (1 - m) * var
         inv = lax.rsqrt(var + self.epsilon) * scale
         b = bias - mean * inv
-        dt = self.dtype or x.dtype
         return x.astype(dt) * inv.astype(dt) + b.astype(dt)
 
 

@@ -285,3 +285,54 @@ def test_cotnet_dense_grouped_gate():
         cm.DENSE_GROUPED = old
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_bn_fused_bwd_matches_autodiff():
+    """COTNET_BN_FUSED_BWD: the closed-form BN training backward
+    (dgamma/dbeta/dx in two passes) matches XLA autodiff of the plain path,
+    and the forward + running-stat updates are identical."""
+    import cotnet_tpu.nn.norm as nm
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 6, 6, 8), jnp.float32)
+    bn = nm.LeanBatchNorm(use_running_average=False)
+    v = bn.init(jax.random.PRNGKey(1), x)
+
+    def run(fused):
+        old = nm.BN_FUSED_BWD
+        nm.BN_FUSED_BWD = fused
+        try:
+            def f(p, xx):
+                y, upd = bn.apply({**v, "params": p}, xx,
+                                  mutable=["batch_stats"])
+                return jnp.sum(jnp.sin(y)), (y, upd)
+            (loss, (y, upd)), grads = jax.value_and_grad(
+                f, argnums=(0, 1), has_aux=True)(v["params"], x)
+            return loss, y, upd, grads
+        finally:
+            nm.BN_FUSED_BWD = old
+
+    l0, y0, u0, g0 = run(False)
+    l1, y1, u1, g1 = run(True)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=1e-6, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(u0),
+                    jax.tree_util.tree_leaves(u1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+    # bf16 path: finite + close to the f32 reference grads
+    xb = x.astype(jnp.bfloat16)
+    def fb(p, xx):
+        old = nm.BN_FUSED_BWD
+        nm.BN_FUSED_BWD = True
+        try:
+            y, _ = bn.apply({**v, "params": p}, xx, mutable=["batch_stats"])
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+        finally:
+            nm.BN_FUSED_BWD = old
+    gb = jax.grad(fb, argnums=1)(v["params"], xb)
+    assert jnp.all(jnp.isfinite(gb.astype(jnp.float32)))
