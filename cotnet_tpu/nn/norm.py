@@ -219,7 +219,15 @@ class SubChannelGroupNorm(fnn.Module):
             # deferred normalize: return the equivalent per-element affine
             # ``y = x*s + b`` (s = inv*gamma, b = beta - mean*s) as
             # [N, dw_groups, K^2, Cw/dw_groups] for local_aggregate's
-            # w_scale/w_bias — the normalized tensor is never materialized
+            # w_scale/w_bias — the normalized tensor is never materialized.
+            # Conditioning note: b's ``beta - mean*s`` cancels where
+            # |mean| >> sigma, so the folded result carries up to ~2e-4 rel
+            # f32 rounding vs the materialized form (f64-stats verified
+            # exact).  Sub-noise for the bf16 eval path this fold serves
+            # (bf16 eps ~8e-3; all conversion-parity gates pass with the
+            # fold ON); a subtract-first (w-mean)*s+beta kernel contract
+            # would fix it at the cost of a third operand in every affine
+            # kernel — not taken, recorded here.
             g = scale.reshape(1, self.dw_groups, self.k2, cwg)
             be = bias.reshape(1, self.dw_groups, self.k2, cwg)
             s = inv[:, 0, 0] * g          # [n,dwg,1,cwg] * [1,dwg,k2,cwg]
