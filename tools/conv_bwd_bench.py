@@ -77,11 +77,62 @@ def bench_shape(name, n, h, cin, cout, k, stride=1, groups=1,
     return tf_, tdx, tdw
 
 
+def bench_strided_1x1(name, n, h, cin, cout, dtype=jnp.bfloat16):
+    """Downsample 1x1 stride-2 conv vs the slice-then-matmul identity
+    (conv1x1 s2 == x[:, ::2, ::2, :] @ W): forward is trivially equal; the
+    interesting number is dx, where the conv form transposes to an
+    lhs-dilated conv while the slice form is a dense matmul + interior pad."""
+    kx, kw = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(kx, (n, h, h, cin), dtype)
+    w = jax.random.normal(kw, (1, 1, cin, cout), dtype) * 0.05
+
+    def f_conv(x_, w_):
+        return conv(x_, w_, stride=2, pad=0)
+
+    def f_slice(x_, w_):
+        return conv(x_[:, ::2, ::2, :], w_, stride=1, pad=0)
+
+    for tag, f in (("conv", f_conv), ("slice", f_slice)):
+        def loss(x_, w_):
+            return jnp.sum(f(x_, w_).astype(jnp.float32) ** 2)
+        dx = jax.grad(loss, argnums=0)
+        dw = jax.grad(loss, argnums=1)
+        tf_ = chain_time(f, x, w)
+        tdx = chain_time(dx, x, w)
+        tdw = chain_time(lambda w_, x_: dw(x_, w_), w, x)
+        print(f"{name+' '+tag:28s} fwd {tf_*1e3:7.3f}  dx {tdx*1e3:7.3f}  "
+              f"dw {tdw*1e3:7.3f} ms   bwd/fwd {(tdx+tdw)/tf_:5.2f}",
+              flush=True)
+
+
+def bench_maxpool(name, n, h, c, dtype=jnp.bfloat16):
+    """Stem maxpool 3x3 s2 fwd + bwd (select_and_scatter)."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, h, h, c), dtype)
+
+    def f(x_):
+        return jax.lax.reduce_window(
+            x_, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            [(0, 0), (1, 1), (1, 1), (0, 0)])
+
+    def loss(x_):
+        return jnp.sum(f(x_).astype(jnp.float32) ** 2)
+
+    dx = jax.grad(loss)
+    tf_ = chain_time(f, x)
+    tdx = chain_time(dx, x)
+    print(f"{name:28s} fwd {tf_*1e3:7.3f}  dx {tdx*1e3:7.3f} ms   "
+          f"bwd/fwd {tdx/tf_:5.2f}", flush=True)
+
+
 def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     print("devices:", jax.devices(), "bs", bs, flush=True)
     # stem
     bench_shape("stem7x7 224 3->64 s2", bs, 224, 3, 64, 7, stride=2)
+    bench_maxpool("stem maxpool3x3 s2 112 64", bs, 112, 64)
+    # downsample 1x1 stride-2 per stage transition, conv vs slice form
+    for h, cin, cout in [(56, 256, 512), (28, 512, 1024), (14, 1024, 2048)]:
+        bench_strided_1x1(f"ds1x1 s2 {h} {cin}", bs, h, cin, cout)
     # key_embed grouped 3x3 per stage (cotnet50 dims) + dense equivalents
     for h, dim in [(56, 64), (28, 128), (14, 256), (7, 512)]:
         bench_shape(f"key3x3 g4 {h} {dim}", bs, h, dim, dim, 3, groups=4)
