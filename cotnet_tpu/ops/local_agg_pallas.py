@@ -236,6 +236,10 @@ DX_GATHER = _os.environ.get("COTNET_DX_GATHER", "1") == "1"
 # the scatter/slice-loop incumbents (measured crossover between 14x14 and
 # 28x28; tests lower it to force the big-map kernels on small shapes).
 DX_BIG_MAP_MIN = int(_os.environ.get("COTNET_DX_BIG_MAP_MIN", "400"))
+
+# A/B gate: cw->c lane replication as an MXU matmul instead of a lane-space
+# concatenate (see _tile_lanes).  Off by default pending on-chip measurement.
+TILE_DOT = _os.environ.get("COTNET_TILE_DOT", "0") == "1"
 _WLOOP_GROUP = 2
 _WLOOP_BUDGET_BYTES = 16 * 1024 * 1024
 
@@ -297,8 +301,26 @@ def pallas_plan(x_shape, w_shape, itemsize, padding=(0, 0), affine=False):
 
 def _tile_lanes(wk, g):
     """Broadcast a [..., Cw] weight tap to the full [..., G*Cw] channel width
-    (channel c uses weight channel c % Cw)."""
-    return jnp.concatenate([wk] * g, axis=-1) if g > 1 else wk
+    (channel c uses weight channel c % Cw).
+
+    Two forms, dispatched by COTNET_TILE_DOT (A/B gate, default off):
+    concatenate replicates 16-lane registers in lane space on the VPU; the
+    dot form rides the same observation that fixed _dw_kernel_dot (the
+    mirror-image group reduction, 3.50->2.43ms at 28x28): sub-lane-width
+    shuffles serialize, so move the replication to the MXU as
+    ``wk @ E`` with E[j, i] = (i % Cw == j) — an exact 0/1 expansion."""
+    if g == 1:
+        return wk
+    if TILE_DOT:
+        cw = wk.shape[-1]
+        c = cw * g
+        ii = jax.lax.broadcasted_iota(jnp.int32, (cw, c), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (cw, c), 1)
+        e = (jj % cw == ii).astype(wk.dtype)
+        flat = wk.reshape(-1, cw)
+        out = jnp.dot(flat, e, preferred_element_type=wk.dtype)
+        return out.reshape(*wk.shape[:-1], c)
+    return jnp.concatenate([wk] * g, axis=-1)
 
 
 def _tap_weight(w_ref, s_ref, b_ref, k, cw):

@@ -219,6 +219,35 @@ def test_wloop_kernels_parity():
         lap._VMEM_BUDGET_BYTES = old_budget
 
 
+def test_tile_dot_parity():
+    """COTNET_TILE_DOT: the MXU-matmul form of the cw->c lane replication
+    (wk @ 0/1 expansion matrix) is exactly the concatenate broadcast — fwd
+    and both grads, whole-image kernels, g=8."""
+    import cotnet_tpu.ops.local_agg_pallas as lap
+
+    old = lap.TILE_DOT
+    try:
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 16))
+        w = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 1, 9, 2))
+
+        def f(impl):
+            return lambda x, w: jnp.sum(jnp.sin(local_aggregate(
+                x, w, kernel_size=3, padding=1, impl=impl)))
+
+        outs = {}
+        for flag in (False, True):
+            lap.TILE_DOT = flag
+            outs[flag] = (f("pallas")(x, w),
+                          jax.grad(f("pallas"), (0, 1))(x, w))
+        ya = f("xla")(x, w)
+        assert abs(float(outs[True][0] - ya)) < 1e-3
+        for a, b in zip(outs[False][1], outs[True][1]):
+            rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
+            assert rel < 1e-6, rel
+    finally:
+        lap.TILE_DOT = old
+
+
 def test_xla_gather_vjp_matches_autodiff():
     """The gather-style custom VJP for the stride-1 XLA core (the training
     stage-1 backward fix: no K^2-sized f32 d_patches materialization, no
