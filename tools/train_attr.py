@@ -62,6 +62,7 @@ def main():
     by_pw = collections.Counter()
     by_cat = collections.Counter()
     by_line = collections.Counter()
+    by_op = collections.Counter()
     for e in leaf:
         c = classify(e)
         if c is None:
@@ -72,6 +73,11 @@ def main():
         by_pw[(phase, where)] += d
         by_cat[(phase, cat)] += d
         by_line[(phase, sloc)] += d
+        # drill into the two opaque buckets: name the individual HLO ops
+        # (dedup by instruction name) so layout copies and the conv fusion
+        # split are actionable, not just a category total
+        if cat in ("data formatting", "convolution fusion"):
+            by_op[(phase, cat, e["name"][:64], where)] += d
 
     def show(title, counter, n=100):
         print(f"---- {title} ----")
@@ -82,6 +88,7 @@ def main():
     show("phase x layer-group", by_pw)
     show("phase x hlo category", by_cat, 24)
     show("phase x source line (top 30)", by_line, 30)
+    show("formatting + conv-fusion ops (top 40)", by_op, 40)
 
 
 if __name__ == "__main__":
