@@ -336,3 +336,58 @@ def test_bn_fused_bwd_matches_autodiff():
             nm.BN_FUSED_BWD = old
     gb = jax.grad(fb, argnums=1)(v["params"], xb)
     assert jnp.all(jnp.isfinite(gb.astype(jnp.float32)))
+
+
+def test_all_perf_gates_combined():
+    """The three env-gated perf levers (COTNET_DENSE_GROUPED,
+    COTNET_BN_FUSED_BWD, COTNET_TILE_DOT) compose: a training-mode CotLayer
+    fwd + param/input grads with all three ON matches all-OFF — pins the
+    gate *combinations* the on-chip A/B runbook measures."""
+    import cotnet_tpu.models.cotnet as cm
+    import cotnet_tpu.nn.norm as nm
+    import cotnet_tpu.ops.local_agg_pallas as lap
+
+    # batch 4, not 2: the SE-branch BN normalizes [B,1,1,C] pooled features,
+    # and at B=2 batch norm maps both elements to exactly +-1 — the true
+    # gradient through it is structurally ~eps, so fused-vs-autodiff rounding
+    # noise dominates any relative comparison (verified: M=3,4,8 match at
+    # 1e-7; M=2 both emit ~1e-7-magnitude values of differing rounding).
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 32), jnp.float32)
+    layer = cm.CotLayer(dim=32)
+    v = layer.init({"params": jax.random.PRNGKey(1), "dropout":
+                    jax.random.PRNGKey(2)}, x, training=True)
+
+    def run():
+        def f(p, xx):
+            y, upd = layer.apply(
+                {**v, "params": p}, xx, training=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(3)})
+            return jnp.sum(jnp.sin(y)), upd
+        (loss, upd), grads = jax.value_and_grad(
+            f, argnums=(0, 1), has_aux=True)(v["params"], x)
+        return loss, upd, grads
+
+    saved = (cm.DENSE_GROUPED, nm.BN_FUSED_BWD, lap.TILE_DOT)
+    try:
+        cm.DENSE_GROUPED, nm.BN_FUSED_BWD, lap.TILE_DOT = False, False, False
+        l0, u0, g0 = run()
+        cm.DENSE_GROUPED, nm.BN_FUSED_BWD, lap.TILE_DOT = True, True, True
+        # param tree must be unchanged by the dense-grouped lowering
+        v1 = layer.init({"params": jax.random.PRNGKey(1), "dropout":
+                         jax.random.PRNGKey(2)}, x, training=True)
+        assert jax.tree_util.tree_structure(v1) == \
+            jax.tree_util.tree_structure(v)
+        l1, u1, g1 = run()
+    finally:
+        cm.DENSE_GROUPED, nm.BN_FUSED_BWD, lap.TILE_DOT = saved
+
+    np.testing.assert_allclose(float(l0), float(l1), atol=1e-4, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(u0),
+                    jax.tree_util.tree_leaves(u1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3)
