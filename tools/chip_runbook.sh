@@ -27,6 +27,9 @@ timeout 1800 python -u tools/dx_bench.py >> $L 2>&1
 COTNET_TILE_DOT=1 timeout 1800 python -u tools/dx_bench.py >> $L 2>&1
 echo "=== agg fwd TILE_DOT=1 ===" >> $L
 COTNET_TILE_DOT=1 timeout 1800 python -u tools/agg_bench.py >> $L 2>&1
+echo "=== flagship train baseline ===" >> $L
+timeout 2400 python -u tools/train_ab_bench.py model=se_cotnetd_152 >> $L 2>&1 \
+  || timeout 2400 python -u tools/train_ab_bench.py model=se_cotnetd_152 bs=64 >> $L 2>&1
 echo "=== conv bwd breakdown ===" >> $L
 timeout 2400 python -u tools/conv_bwd_bench.py >> $L 2>&1
 echo "=== m-pack probe ===" >> $L

@@ -14,10 +14,13 @@ import sys
 import time
 
 model_name = "cotnet50"
+bs = 128
 for kv in sys.argv[1:]:
     k, v = kv.split("=", 1)
     if k == "model":
         model_name = v
+    elif k == "bs":
+        bs = int(v)
     else:
         os.environ[k] = v
 
@@ -29,7 +32,7 @@ from jax import lax
 
 from cotnet_tpu.models import create_model
 
-B, S, ITERS = 128, 224, 8
+B, S, ITERS = bs, 224, 8
 model = create_model(model_name, dtype=jnp.bfloat16)
 x = jnp.ones((B, S, S, 3), jnp.bfloat16)
 labels = jnp.arange(B) % 1000
