@@ -202,14 +202,23 @@ def model_costs(model_name: str, batch: int, size: int, impl: str, dtype):
             float(_jaxpr_traffic_bytes(jaxpr.jaxpr)))
 
 
-def timeit(chained, variables, x, iters):
-    # fetch one element to host — a transfer cannot complete before the
-    # computation does, which makes the timing robust to any runtime that
-    # acks block_until_ready early
+def timeit(chained, variables, x, iters, repeats=3):
+    """Median of ``repeats`` timed runs plus (min, max) spread.
+
+    STATUS records ~10% day-to-day platform drift on this tunnel, which is
+    the size of several past A/B deltas — a single-run number can't tell a
+    real regression from noise (VERDICT r3 weak #3), so every published
+    timing carries its own spread.  Each run fetches one element to host —
+    a transfer cannot complete before the computation does, which makes the
+    timing robust to any runtime that acks block_until_ready early."""
     np.asarray(chained(variables, x).ravel()[0])  # compile + warm
-    t0 = time.perf_counter()
-    np.asarray(chained(variables, x).ravel()[0])
-    return (time.perf_counter() - t0) / iters
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(chained(variables, x).ravel()[0])
+        ts.append((time.perf_counter() - t0) / iters)
+    ts.sort()
+    return ts[len(ts) // 2], ts[0], ts[-1]
 
 
 def main():
@@ -217,19 +226,19 @@ def main():
     dtype = jnp.bfloat16
 
     fwd_p, v_p, x_p = build("cotnet50", batch, size, "pallas", dtype, iters)
-    dt_pallas = timeit(fwd_p, v_p, x_p, iters)
+    dt_pallas, dt_p_lo, dt_p_hi = timeit(fwd_p, v_p, x_p, iters)
 
     fwd_x, v_x, x_x = build("cotnet50", batch, size, "xla", dtype, iters)
-    dt_xla = timeit(fwd_x, v_x, x_x, iters)
+    dt_xla, _, _ = timeit(fwd_x, v_x, x_x, iters)
 
     # train step (fwd+bwd+SGD) — driver-visible training throughput
     t_iters = 8
     tr_p, tv_p, tx_p = build_train("cotnet50", batch, size, "pallas", dtype,
                                    t_iters)
-    dt_train = timeit(tr_p, tv_p, tx_p, t_iters)
+    dt_train, dt_t_lo, dt_t_hi = timeit(tr_p, tv_p, tx_p, t_iters)
     tr_x, tv_x, tx_x = build_train("cotnet50", batch, size, "xla", dtype,
                                    t_iters)
-    dt_train_xla = timeit(tr_x, tv_x, tx_x, t_iters)
+    dt_train_xla, _, _ = timeit(tr_x, tv_x, tx_x, t_iters)
 
     ips = batch / dt_pallas
     ips_xla = batch / dt_xla
@@ -250,6 +259,21 @@ def main():
     except Exception:
         mfu = traffic_gb = -1.0
 
+    # drift flag: median vs the previous successful run's median (the
+    # tunnel shows ~10% day-to-day platform drift on identical commits —
+    # a delta beyond the run's own min/max spread AND beyond 5% of the
+    # cached value is worth a human look before trusting comparisons)
+    drift = None
+    try:
+        if os.path.exists(_CACHE):
+            with open(_CACHE) as f:
+                prev = json.load(f).get("detail", {}).get(
+                    "ms_per_batch_pallas")
+            if prev:
+                drift = round((dt_pallas * 1e3 - prev) / prev, 4)
+    except Exception:
+        pass
+
     result = {
         "metric": "cotnet50_224_bs128_bf16_infer_imgs_per_sec_chip",
         "value": round(best, 1),
@@ -257,10 +281,16 @@ def main():
         "vs_baseline": round(ips / ips_xla, 4),
         "detail": {"pallas_ips": round(ips, 1), "xla_ips": round(ips_xla, 1),
                    "ms_per_batch_pallas": round(dt_pallas * 1e3, 3),
+                   "ms_per_batch_pallas_spread": [round(dt_p_lo * 1e3, 3),
+                                                  round(dt_p_hi * 1e3, 3)],
                    "ms_per_batch_xla": round(dt_xla * 1e3, 3),
                    "train_imgs_per_sec": round(batch / dt_train, 1),
                    "train_ms_per_batch": round(dt_train * 1e3, 3),
+                   "train_ms_per_batch_spread": [round(dt_t_lo * 1e3, 3),
+                                                 round(dt_t_hi * 1e3, 3)],
                    "train_imgs_per_sec_xla": round(batch / dt_train_xla, 1),
+                   "repeats": 3,
+                   "drift_vs_prev_run": drift,
                    "mfu_vs_measured_envelope": round(mfu, 4),
                    "ideal_traffic_gb": round(traffic_gb, 3),
                    "platform": jax.default_backend()},

@@ -41,5 +41,9 @@ for epoch in range(3):
         state, m = step(state, batch, rng)
     losses.append(float(m["loss"]))
     print(f"epoch {epoch}: loss {losses[-1]:.4f}", flush=True)
-assert losses[-1] < losses[0] + 0.3, losses
+# strict: training on real decoded data must actually reduce the loss
+# (the old `< losses[0] + 0.3` tolerated a regression — VERDICT r3 weak #4;
+# the hermetic CI gate is tests/test_e2e_realdata.py, this tool is the
+# on-TPU variant)
+assert losses[-1] < losses[0], losses
 print("real-data pipeline on TPU: OK", flush=True)
