@@ -240,6 +240,16 @@ DX_BIG_MAP_MIN = int(_os.environ.get("COTNET_DX_BIG_MAP_MIN", "400"))
 # A/B gate: cw->c lane replication as an MXU matmul instead of a lane-space
 # concatenate (see _tile_lanes).  Off by default pending on-chip measurement.
 TILE_DOT = _os.environ.get("COTNET_TILE_DOT", "0") == "1"
+# Single-launch fused dx+dw backward (VERDICT r3 #1's named untried lever):
+# one kernel computes BOTH cotangents, so dy is DMA'd from HBM once and the
+# pair shares one grid step per image (see _dxdw_gather_kernel).  ON by
+# isolated chained measurement (tools/bwd_pair_bench.py, bs128 bf16):
+# gather form beats the two-launch dispatch at every cotnet stage —
+# 28x28x128 3.280->3.053 ms, 14x14x256 1.814->1.800, 7x7x512 1.378->1.309
+# (floors 1.06/0.53/0.27; the end-to-end train A/B is a wash at the
+# platform's ~10% process-to-process drift, so the low-noise isolated
+# numbers decide).  TPU grad parity vs XLA autodiff: relerr <= 8e-7 f32.
+FUSED_BWD = _os.environ.get("COTNET_FUSED_BWD", "1") == "1"
 _WLOOP_GROUP = 2
 _WLOOP_BUDGET_BYTES = 16 * 1024 * 1024
 
@@ -494,6 +504,132 @@ def _dw_kernel_dot(x_ref, dy_ref, dw_ref, xp_ref, *, kh, kw, dh, dw, heads,
                 acc = jnp.dot(t, gm, preferred_element_type=jnp.float32)
                 dw_ref[:, :, :, k * cw:(k + 1) * cw] = acc.reshape(
                     m, ho, wo, cw).astype(out_dtype)
+
+
+def _dxdw_gather_kernel(x_ref, w_ref, dy_ref, dx_ref, dwf_ref, xp_ref,
+                        wp_ref, dyp_ref, *, dw_dot, kh, kw, dh, dw, heads, g,
+                        cw, ho, wo, c, ph, pw, hi, wi):
+    """Single-launch backward: BOTH cotangents in one kernel (the transpose
+    of the fused forward; reference backward pair aggregation_zeropad.py:
+    147-186 is likewise one module with two kernels but shares the launch).
+
+    vs the two-kernel dispatch this (a) DMAs dy from HBM once — the pair's
+    largest shared input — and (b) runs dx and dw in the same grid step, so
+    each image's DMA/compute overlap amortizes over twice the work (the
+    per-step latency floor dominates at the small late-stage maps, cf. the
+    m-packing note in _pick_batch_block).  dx is the gather form (the
+    big-map winner), dw the dot or slice-loop form by ``dw_dot``."""
+    lh, lw = (kh - 1) * dh - ph, (kw - 1) * dw - pw
+    out_dtype = dx_ref.dtype
+    m = x_ref.shape[0]
+    _fill_padded(dy_ref, dyp_ref, lh, lw, ho, wo)
+    _fill_padded(w_ref, wp_ref, lh, lw, ho, wo)
+    # dx: SSA chain over shifted dyp/wp slices
+    acc = None
+    for head in range(heads):
+        for ikh in range(kh):
+            for ikw in range(kw):
+                k = head * kh * kw + ikh * kw + ikw
+                sh = (kh - 1) * dh - ikh * dh
+                sw = (kw - 1) * dw - ikw * dw
+                dys = dyp_ref[:, sh:sh + hi, sw:sw + wi,
+                              head * c:(head + 1) * c].astype(jnp.float32)
+                wk = wp_ref[:, sh:sh + hi, sw:sw + wi,
+                            k * cw:(k + 1) * cw].astype(jnp.float32)
+                tap = dys * _tile_lanes(wk, g)
+                acc = tap if acc is None else acc + tap
+    dx_ref[...] = acc.astype(out_dtype)
+    # dw: per-tap group reduction straight into the flat k-major layout
+    _fill_padded(x_ref, xp_ref, ph, pw, hi, wi)
+    dw_dtype = dwf_ref.dtype
+    gm = _group_sum_matrix(c, cw) if dw_dot else None
+    for head in range(heads):
+        dys = dy_ref[:, :, :, head * c:(head + 1) * c].astype(jnp.float32)
+        for ikh in range(kh):
+            for ikw in range(kw):
+                k = head * kh * kw + ikh * kw + ikw
+                xs = xp_ref[:, ikh * dh:ikh * dh + ho,
+                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
+                t = xs * dys
+                if dw_dot:
+                    flat = t.reshape(m * ho * wo, c)
+                    red = jnp.dot(flat, gm,
+                                  preferred_element_type=jnp.float32)
+                    red = red.reshape(m, ho, wo, cw)
+                else:
+                    red = t[:, :, :, 0:cw]
+                    for gi in range(1, g):
+                        red = red + t[:, :, :, gi * cw:(gi + 1) * cw]
+                dwf_ref[:, :, :, k * cw:(k + 1) * cw] = red.astype(dw_dtype)
+
+
+def _dxdw_scatter_kernel(x_ref, w_ref, dy_ref, dx_ref, dwf_ref, xp_ref,
+                         acc_ref, *, dw_dot, kh, kw, dh, dw, heads, g, cw,
+                         ho, wo, c, ph, pw, hi, wi):
+    """Fused backward, scatter-dx form: one loop over (head, tap) computes
+    BOTH grads from a single per-head dys load — dx accumulates in-place
+    into the f32 padded scratch (the shapes where gather's padded dy/w
+    copies don't fit or aren't allowed), dw writes per tap."""
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    _fill_padded(x_ref, xp_ref, ph, pw, hi, wi)
+    dw_dtype = dwf_ref.dtype
+    m = x_ref.shape[0]
+    gm = _group_sum_matrix(c, cw) if dw_dot else None
+    for head in range(heads):
+        dys = dy_ref[:, :, :, head * c:(head + 1) * c].astype(jnp.float32)
+        for ikh in range(kh):
+            for ikw in range(kw):
+                k = head * kh * kw + ikh * kw + ikw
+                wk = _tap_weight(w_ref, None, None, k, cw)
+                cur = acc_ref[:, ikh * dh:ikh * dh + ho,
+                              ikw * dw:ikw * dw + wo, :]
+                acc_ref[:, ikh * dh:ikh * dh + ho,
+                        ikw * dw:ikw * dw + wo, :] = (
+                    cur + _tile_lanes(wk, g) * dys)
+                xs = xp_ref[:, ikh * dh:ikh * dh + ho,
+                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
+                t = xs * dys
+                if dw_dot:
+                    flat = t.reshape(m * ho * wo, c)
+                    red = jnp.dot(flat, gm,
+                                  preferred_element_type=jnp.float32)
+                    red = red.reshape(m, ho, wo, cw)
+                else:
+                    red = t[:, :, :, 0:cw]
+                    for gi in range(1, g):
+                        red = red + t[:, :, :, gi * cw:(gi + 1) * cw]
+                dwf_ref[:, :, :, k * cw:(k + 1) * cw] = red.astype(dw_dtype)
+    dx_ref[...] = acc_ref[:, ph:ph + hi, pw:pw + wi, :].astype(dx_ref.dtype)
+
+
+def _dxdw_working_set(x_shape, w_shape, itemsize, padding, m,
+                      gather: bool) -> int:
+    """VMEM bytes for the fused dx+dw kernel: the union of the pair's I/O
+    blocks (x, w, dy in; dx, dw out — dy counted ONCE) plus both kernels'
+    scratches and the dx chain's live f32 temporaries."""
+    n, hi, wi, c = x_shape
+    _, ho, wo, heads, k2, cw = w_shape
+    hp, wp = hi + 2 * padding[0], wi + 2 * padding[1]
+    f = heads * k2 * cw
+    bufs = (_tiled_bytes((m, hi, wi, c), itemsize)          # x in
+            + _tiled_bytes((m, ho, wo, f), itemsize)        # w in
+            + _tiled_bytes((m, ho, wo, heads * c), itemsize)  # dy in (once)
+            + _tiled_bytes((m, hi, wi, c), itemsize)        # dx out
+            + _tiled_bytes((m, ho, wo, f), itemsize))       # dw out
+    live_temps = 3 + k2 // 4
+    scratch = (_tiled_bytes((m, hp, wp, c), itemsize)       # xp (dw side)
+               + live_temps * _tiled_bytes((m, hi, wi, c), 4))
+    if gather:
+        kspan_h = hi + 2 * padding[0] - ho
+        kspan_w = wi + 2 * padding[1] - wo
+        lh = kspan_h - padding[0]
+        lw = kspan_w - padding[1]
+        scratch += (_tiled_bytes((m, ho + 2 * lh, wo + 2 * lw, f), itemsize)
+                    + _tiled_bytes((m, ho + 2 * lh, wo + 2 * lw, heads * c),
+                                   itemsize))
+    else:
+        scratch += _tiled_bytes((m, hp, wp, c), 4)          # f32 dx acc
+    return 2 * bufs + scratch
 
 
 def _dw_kernel_affine(x_ref, dy_ref, w_ref, s_ref, dwf_ref, dsf_ref, dbf_ref,
@@ -850,6 +986,54 @@ def _agg_bwd_rule(kernel_size, dilation, padding, res, dy):
     # scoped vmem at f32 28x28x128 m=1 (OOM at the 16M limit) while bf16
     # fits and wins; interpret mode (tests) has no vmem and stays open.
     gather_dtype_ok = x.dtype.itemsize <= 2 or _use_interpret()
+
+    if FUSED_BWD:
+        # gather form preferred at EVERY map size (unlike the separate-dx
+        # crossover at DX_BIG_MAP_MIN): measured 28/14/7px it wins or ties
+        # fused-scatter and both beat the two-launch pair (bwd_pair_bench)
+        use_gather = (DX_GATHER and gather_dtype_ok
+                      and lh >= 0 and lw >= 0
+                      and _dxdw_working_set(x.shape, w.shape,
+                                            x.dtype.itemsize, padding, m,
+                                            True) <= _VMEM_BUDGET_BYTES)
+        scatter_fits = _dxdw_working_set(
+            x.shape, w.shape, x.dtype.itemsize, padding, m,
+            False) <= _VMEM_BUDGET_BYTES
+        if use_gather or scatter_fits:
+            f = wf.shape[-1]
+            dw_dot = big_map and (x.dtype.itemsize <= 2 or _use_interpret())
+            if use_gather:
+                kern = functools.partial(_dxdw_gather_kernel, dw_dot=dw_dot,
+                                         **geo)
+                scratch = [
+                    pltpu.VMEM((m, hp, wp, c), x.dtype),
+                    pltpu.VMEM((m, ho + 2 * lh, wo + 2 * lw, f), w.dtype),
+                    pltpu.VMEM((m, ho + 2 * lh, wo + 2 * lw, heads * c),
+                               dy.dtype)]
+            else:
+                kern = functools.partial(_dxdw_scatter_kernel, dw_dot=dw_dot,
+                                         **geo)
+                scratch = [pltpu.VMEM((m, hp, wp, c), x.dtype),
+                           pltpu.VMEM((m, hp, wp, c), jnp.float32)]
+            dx, dwf = pl.pallas_call(
+                kern,
+                grid=(n // m,),
+                in_specs=[_block(x.shape, m), _block(wf.shape, m),
+                          _block((n, ho, wo, heads * c), m)],
+                out_specs=(_block(x.shape, m), _block(wf.shape, m)),
+                out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
+                           jax.ShapeDtypeStruct(wf.shape, w.dtype)),
+                scratch_shapes=scratch,
+                interpret=_use_interpret(),
+                cost_estimate=pl.CostEstimate(
+                    flops=4 * n * ho * wo * heads * geo["kh"] * geo["kw"]
+                    * c,
+                    bytes_accessed=(x.size + 2 * wf.size
+                                    + 2 * n * ho * wo * heads * c)
+                    * x.dtype.itemsize,
+                    transcendentals=0),
+            )(x, wf, dy)
+            return dx, dwf.reshape(w.shape)
     if (DX_GATHER and big_map and gather_dtype_ok and lh >= 0 and lw >= 0
             and _dx_gather_working_set(x.shape, w.shape, x.dtype.itemsize,
                                        padding, m) <= _VMEM_BUDGET_BYTES):

@@ -428,8 +428,9 @@ def test_dx_gather_vs_scatter_kernels():
     XLA autodiff grads, incl. dilation>1, heads>1, K=5."""
     import cotnet_tpu.ops.local_agg_pallas as lap
 
-    old = (lap.DX_GATHER, lap.DX_BIG_MAP_MIN)
+    old = (lap.DX_GATHER, lap.DX_BIG_MAP_MIN, lap.FUSED_BWD)
     try:
+        lap.FUSED_BWD = False  # exercise the two-launch dispatch
         lap.DX_BIG_MAP_MIN = 0  # force the big-map kernels on small shapes
         for (n, h, c, cw, heads, k, d) in [(2, 14, 64, 8, 1, 3, 1),
                                            (2, 9, 24, 3, 2, 3, 2),
@@ -453,7 +454,45 @@ def test_dx_gather_vs_scatter_kernels():
                                 / (jnp.abs(a).max() + 1e-9))
                     assert rel < 1e-5, (n, h, k, d, gather, name, rel)
     finally:
-        lap.DX_GATHER, lap.DX_BIG_MAP_MIN = old
+        lap.DX_GATHER, lap.DX_BIG_MAP_MIN, lap.FUSED_BWD = old
+
+
+def test_fused_dxdw_backward():
+    """The single-launch fused dx+dw backward (COTNET_FUSED_BWD) — both the
+    gather-dx and scatter-dx fused variants — matches XLA autodiff grads,
+    incl. dilation>1, heads>1, K=5, and a shape under the big-map gate
+    (scatter+slice-loop dw) vs over it (gather+dot dw)."""
+    import cotnet_tpu.ops.local_agg_pallas as lap
+
+    old = (lap.FUSED_BWD, lap.DX_GATHER, lap.DX_BIG_MAP_MIN)
+    try:
+        lap.FUSED_BWD = True
+        for (n, h, c, cw, heads, k, d, gather, big_min) in [
+                (2, 14, 64, 8, 1, 3, 1, True, 0),       # gather + dot dw
+                (2, 14, 64, 8, 1, 3, 1, True, 10**6),   # gather + slice dw
+                (2, 14, 64, 8, 1, 3, 1, False, 10**6),  # scatter + slice dw
+                (2, 9, 24, 3, 2, 3, 2, True, 0),        # dilated, 2 heads
+                (2, 8, 32, 4, 1, 5, 1, True, 0),        # K=5
+                (2, 8, 32, 4, 1, 5, 1, False, 10**6)]:
+            lap.DX_GATHER = gather
+            lap.DX_BIG_MAP_MIN = big_min
+            pad = (d * (k - 1) + 1) // 2
+            ks = jax.random.split(jax.random.PRNGKey(n * h + k), 2)
+            x = jax.random.normal(ks[0], (n, h, h, c), jnp.float32)
+            w = jax.random.normal(ks[1], (n, h, h, heads, k * k, cw),
+                                  jnp.float32)
+
+            def f(impl):
+                return lambda x, w: jnp.sum(jnp.sin(local_aggregate(
+                    x, w, kernel_size=k, padding=pad, dilation=d, impl=impl)))
+
+            ga = jax.grad(f("xla"), (0, 1))(x, w)
+            gb = jax.grad(f("pallas"), (0, 1))(x, w)
+            for name, a, b in zip("xw", ga, gb):
+                rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
+                assert rel < 1e-5, (n, h, k, d, big_min, name, rel)
+    finally:
+        lap.FUSED_BWD, lap.DX_GATHER, lap.DX_BIG_MAP_MIN = old
 
 
 def test_mix_fused_single_launch():

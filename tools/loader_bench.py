@@ -1,0 +1,160 @@
+"""Host input-pipeline throughput (VERDICT r3 #2) -> LOADER_r04.json.
+
+Measures data/loader.py at the production recipe against the chip's
+training rate.  The reference's bar is its torch DataLoader feeding 8 GPUs
+(reference datasets/loader.py:128-225, --workers per GPU process); here the
+equivalent question is host images/sec vs the chip's train img/s.
+
+This box has ONE host core, so the deliverable is (a) the measured
+per-core rate of every host stage at the production recipe (224px
+RandomResizedCrop + hflip, rand-m15-mstd0.5-n2 riding the DEVICE — host
+cost is decode+crop+collate), (b) the full-Loader end-to-end rate, and
+(c) the documented scaling bound: host cores needed = target / per-core
+rate (the worker-process pool scales linearly by construction — one
+process per core, zero shared state; reference torch workers scale the
+same way).
+
+Usage:  python -u tools/loader_bench.py [n_images] [out.json]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+N_IMG = int(sys.argv[1]) if len(sys.argv) > 1 else 768
+OUT = sys.argv[2] if len(sys.argv) > 2 else None
+BS = 128
+TRAIN_TARGET = 1187.0  # BENCH_r03 chip train img/s (cotnet50 bs128)
+EVAL_TARGET = 5066.8   # BENCH_r03 chip infer img/s
+
+
+def make_corpus(root, n):
+    """Synthetic JPEG tree at ImageNet-like decode cost: 500x375 q=87
+    (ImageNet-1k average is ~472x387, quality ~85-90); low-frequency
+    content so DCT sparsity (and so decode cost) resembles photos, not
+    noise."""
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(0)
+    sizes = []
+    for c in range(8):
+        d = os.path.join(root, f"class{c}")
+        os.makedirs(d, exist_ok=True)
+        for i in range(n // 8):
+            yy, xx = np.mgrid[0:375, 0:500].astype(np.float32)
+            base = (
+                120 + 90 * np.sin(xx / (20 + 10 * c) + i)
+                + 60 * np.cos(yy / 17 + c))
+            img = np.stack([base + 20 * k for k in range(3)], -1)
+            img += rng.normal(0, 12, img.shape)
+            p = os.path.join(d, f"img{i:05d}.jpg")
+            Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
+                p, quality=87)
+            sizes.append(os.path.getsize(p))
+    return float(np.mean(sizes))
+
+
+def rate(fn, items):
+    t0 = time.perf_counter()
+    for it in items:
+        fn(it)
+    dt = time.perf_counter() - t0
+    return len(items) / dt
+
+
+def main():
+    root = "/tmp/loader_bench_imgs"
+    marker = os.path.join(root, f".done{N_IMG}")
+    if not os.path.exists(marker):
+        avg_bytes = make_corpus(root, N_IMG)
+        open(marker, "w").write(str(avg_bytes))
+    avg_bytes = float(open(marker).read() or 0)
+
+    from PIL import Image
+
+    from cotnet_tpu.data import native
+    from cotnet_tpu.data.dataset import ImageFolderDataset
+    from cotnet_tpu.data.loader import Loader
+    from cotnet_tpu.data.transforms import (create_eval_transform,
+                                            create_train_transform)
+
+    ds = ImageFolderDataset(root)
+    paths = [p for p, _ in ds.samples][:N_IMG]
+    res = {"host_cores": os.cpu_count(), "n_images": len(paths),
+           "avg_jpeg_bytes": avg_bytes}
+
+    # -- stage rates, single core ------------------------------------------
+    res["decode_img_s"] = rate(
+        lambda p: np.asarray(Image.open(p).convert("RGB")), paths)
+    tt = create_train_transform(224)
+    res["decode_train_transform_img_s"] = rate(
+        lambda p: tt(Image.open(p).convert("RGB")), paths)
+    et = create_eval_transform(224)
+    res["decode_eval_transform_img_s"] = rate(
+        lambda p: et(Image.open(p).convert("RGB")), paths)
+    arrs = [np.zeros((224, 224, 3), np.uint8)] * BS
+    t0 = time.perf_counter()
+    reps = 50
+    for _ in range(reps):
+        native.batch_collate(arrs, 1) if native.available() else np.stack(arrs)
+    res["collate_img_s"] = reps * BS / (time.perf_counter() - t0)
+    res["native_collate"] = native.available()
+
+    # -- full Loader end-to-end (host prefetch + device augment) ----------
+    import jax
+
+    res["jax_platform"] = jax.devices()[0].platform
+    for name, train in [("train", True), ("eval", False)]:
+        loader = Loader(ds, BS, train=train, image_size=224,
+                        workers=os.cpu_count(),
+                        auto_augment="rand-m15-mstd0.5-n2" if train else None,
+                        reprob=0.25 if train else 0.0)
+        n = t0 = 0
+        for i, b in enumerate(loader):
+            b["image"].block_until_ready()
+            if i == 0:           # exclude warmup/compile batch
+                t0 = time.perf_counter()
+                continue
+            n += int(b["image"].shape[0])
+        res[f"loader_{name}_img_s"] = n / (time.perf_counter() - t0)
+        loader.close()
+
+    # -- device-augment alone (the only on-chip stage of the loader) ------
+    key = jax.random.PRNGKey(0)
+    u8 = np.zeros((BS, 224, 224, 3), np.uint8)
+    from cotnet_tpu.data.auto_augment import create_batch_augment
+    from cotnet_tpu.data.loader import make_device_augment
+    from cotnet_tpu.data.random_erasing import RandomErasing
+    aug = make_device_augment(rand_augment=create_batch_augment(
+        "rand-m15-mstd0.5-n2"), random_erasing=RandomErasing(0.25))
+    aug(key, u8).block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(20):
+        out = aug(jax.random.fold_in(key, i), u8)
+    out.block_until_ready()
+    res["device_augment_img_s"] = 20 * BS / (time.perf_counter() - t0)
+
+    # -- the scaling bound --------------------------------------------------
+    per_core = res["loader_train_img_s"]
+    res["chip_train_target_img_s"] = TRAIN_TARGET
+    res["chip_eval_target_img_s"] = EVAL_TARGET
+    res["cores_for_1_25x_train"] = 1.25 * TRAIN_TARGET / per_core
+    res["cores_for_eval"] = EVAL_TARGET / res["loader_eval_img_s"]
+    res["scaling_note"] = (
+        "worker processes share nothing (decode+transform per process, "
+        "C++ collate releases the GIL); host rate scales linearly in "
+        "cores until collate (%.0f img/s/core) binds" % res["collate_img_s"])
+
+    print(json.dumps(res, indent=1), flush=True)
+    if OUT:
+        with open(OUT, "w") as f:
+            json.dump(res, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

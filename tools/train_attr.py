@@ -7,7 +7,13 @@ bytes.  This aggregates one captured step into the phase x module tables
 VERDICT r2 asked for (weak #2).
 
 Usage:
-  python tools/train_attr.py <trace.json.gz> [iters]
+  python tools/train_attr.py <trace.json.gz> [iters]            # phase tables
+  python tools/train_attr.py <trace.json.gz> [iters] roofline   # per-fusion
+      bounds table: every top fusion as (ms, bytes, flops, % of byte-bound,
+      % of flop-bound) against the measured platform envelope
+      (tools/roofline.py: ~127 GB/s HBM elementwise, ~64 TFLOP/s bf16 MXU).
+      A fusion near 100% of its best bound is at its roofline; one far below
+      both bounds is a formulation target (VERDICT r3 #1/#2).
 """
 import collections
 import gzip
@@ -48,6 +54,63 @@ def classify(e):
     return phase, where, cat, sloc, op
 
 
+HBM_GBPS = 127.0       # measured elementwise envelope (tools/roofline.py)
+MXU_TFLOPS = 64.0      # measured bf16 matmul envelope
+
+
+def _num(args, *keys):
+    """First numeric arg whose key contains any of the given substrings."""
+    for k, v in args.items():
+        lk = k.lower()
+        if any(s in lk for s in keys):
+            try:
+                return float(str(v).replace(",", "").split()[0])
+            except (ValueError, IndexError):
+                continue
+    return 0.0
+
+
+def roofline(evs, iters):
+    """Per-fusion bounds table: group leaf events by instruction name, sum
+    device time, read the profiler's modeled flops / bytes-accessed, and
+    print each fusion's achieved fraction of its byte- and flop-bound."""
+    rows = {}
+    for e in evs:
+        args = e["args"]
+        name = e["name"]
+        key = name[:72]
+        r = rows.setdefault(key, dict(dur=0.0, n=0, flops=0.0, bytes=0.0,
+                                      cat=args.get("hlo_category", "?"),
+                                      op=""))
+        r["dur"] += e["dur"]
+        r["n"] += 1
+        # modeled numbers are per-occurrence; sum over occurrences
+        r["flops"] += _num(args, "flops")
+        r["bytes"] += _num(args, "bytes accessed", "bytes_accessed")
+        if not r["op"]:
+            r["op"] = args.get("tf_op", "")[:60]
+    total = sum(r["dur"] for r in rows.values()) / 1e3 / iters
+    print(f"{len(rows)} fusions, {total:.1f} ms/iter device time; "
+          f"envelope {HBM_GBPS:.0f} GB/s HBM, {MXU_TFLOPS:.0f} TFLOP/s MXU")
+    hdr = (f"{'ms/it':>7} {'%step':>5} {'GB/it':>7} {'GF/it':>7} "
+           f"{'%byte':>6} {'%flop':>6} {'%best':>6}  name / category")
+    print(hdr)
+    cum = 0.0
+    for key, r in sorted(rows.items(), key=lambda kv: -kv[1]["dur"])[:40]:
+        ms = r["dur"] / 1e3 / iters
+        gb = r["bytes"] / 1e9 / iters
+        gf = r["flops"] / 1e9 / iters
+        t_byte = gb / HBM_GBPS * 1e3       # ms if byte-bound
+        t_flop = gf / (MXU_TFLOPS * 1e3) * 1e3
+        pb = 100.0 * t_byte / ms if ms else 0.0
+        pf = 100.0 * t_flop / ms if ms else 0.0
+        cum += ms
+        print(f"{ms:7.3f} {100*ms/total:5.1f} {gb:7.3f} {gf:7.1f} "
+              f"{pb:6.1f} {pf:6.1f} {max(pb, pf):6.1f}  "
+              f"{key} [{r['cat']}] x{r['n']//iters} {r['op']}")
+    print(f"(top-40 cover {cum:.1f}/{total:.1f} ms = {100*cum/total:.0f}%)")
+
+
 def main():
     path = sys.argv[1]
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
@@ -55,6 +118,9 @@ def main():
     leaf = [e for e in evs
             if e["args"].get("hlo_category", "") not in ("while", "")
             and not e["name"].startswith(("jit_", "while"))]
+    if "roofline" in sys.argv[3:]:
+        roofline(leaf, iters)
+        return
     tot = sum(e["dur"] for e in leaf) / 1e3 / iters
     print(f"{len(leaf)} leaf events, {tot:.1f} ms/iter device time")
 
