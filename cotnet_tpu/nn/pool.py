@@ -10,11 +10,24 @@ AvgPool2dSame / MaxPool2dSame (pool2d_same.py), adaptive global pools
 
 from __future__ import annotations
 
+import functools
+import itertools
+import os
 from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# Max pool as a max over K^2 strided slices instead of reduce_window,
+# aimed at the 0.77 ms/step select-and-scatter backward of the stem maxpool
+# (r4 train-trace roofline table).  MEASURED OFF on the v5e (full cotnet50
+# train step bs128 bf16, tools/train_ab_bench.py r4: 121.4 ms/step vs
+# 106.4 baseline; infer 29.3 vs 27.6) — the stride-2 lane/sublane
+# re-layouts of nine slices plus the backward's interior-dilated pads cost
+# ~15 ms/step, 20x more than the select-and-scatter they replace.  Kept
+# behind the gate for re-measurement on future platforms.
+SLICE_MAXPOOL = os.environ.get("COTNET_SLICE_MAXPOOL", "0") == "1"
 
 
 def _pair(v):
@@ -87,6 +100,23 @@ def max_pool2d(x, kernel_size, stride=None, padding=0, ceil_mode=False):
     # -inf init dispatches to the reduce_window_max primitive (autodiff-able)
     neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
            else jnp.iinfo(x.dtype).min)
+    if SLICE_MAXPOOL and k[0] * k[1] <= 25:
+        # max over K^2 strided slices: identical forward values; backward is
+        # select+dilated-pad loop fusions instead of select-and-scatter
+        # (lax.max's JVP selects on >=, so tied/padding grads route to the
+        # first slice — no NaN at -inf padding)
+        xp = x if max(p[0], eh, p[1], ew) == 0 else jnp.pad(
+            x, ((0, 0), (p[0], eh), (p[1], ew), (0, 0)),
+            constant_values=neg)
+        y = None
+        for kh in range(k[0]):
+            for kw in range(k[1]):
+                sl = lax.slice(
+                    xp, (0, kh, kw, 0),
+                    (n, kh + (oh - 1) * s[0] + 1, kw + (ow - 1) * s[1] + 1,
+                     c), (1, s[0], s[1], 1))
+                y = sl if y is None else lax.max(y, sl)
+        return y
     return lax.reduce_window(
         x, neg, lax.max, (1, k[0], k[1], 1), (1, s[0], s[1], 1),
         [(0, 0), (p[0], eh), (p[1], ew), (0, 0)])

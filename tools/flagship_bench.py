@@ -54,11 +54,56 @@ def bench(size, batch=64):
             return carry + eps
         return jax.lax.fori_loop(0, ITERS, body, x)
 
+    return _time_chained(chained, variables, x, ITERS)
+
+
+def _time_chained(chained, variables, x, iters, repeats=3):
+    """Median of ``repeats`` runs + (lo, hi) spread — bench hygiene
+    (VERDICT r3 weak #3: platform drift is the size of past A/B deltas)."""
     np.asarray(chained(variables, x).ravel()[0])
-    t0 = time.perf_counter()
-    np.asarray(chained(variables, x).ravel()[0])
-    dt = (time.perf_counter() - t0) / ITERS
-    return dt
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(chained(variables, x).ravel()[0])
+        ts.append((time.perf_counter() - t0) / iters)
+    ts.sort()
+    return ts[len(ts) // 2], ts[0], ts[-1]
+
+
+def bench_train(size, batch, iters=6):
+    """Chained full train step (fwd+bwd+SGD update) — the flagship TRAIN
+    row (VERDICT r3 #3; reference README.md:51-52 is a trained artifact,
+    hot loop train.py:238-297)."""
+    model = create_model("se_cotnetd_152", dtype=jnp.bfloat16)
+    x = jnp.ones((batch, size, size, 3), jnp.bfloat16)
+    labels = jnp.arange(batch) % 1000
+    shapes = jax.eval_shape(
+        lambda r, x: model.init({"params": r}, x, training=True),
+        jax.random.PRNGKey(0), x)
+    variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    def loss_fn(params, batch_stats, x):
+        out, upd = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, training=True,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)})
+        logp = jax.nn.log_softmax(out.astype(jnp.float32))
+        loss = -jnp.mean(logp[jnp.arange(out.shape[0]), labels])
+        return loss, upd["batch_stats"]
+
+    @jax.jit
+    def chained(v, x):
+        def body(i, carry):
+            params, stats = carry
+            (loss, stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, stats, x)
+            params = jax.tree.map(lambda p, g: p - 0.01 * g.astype(p.dtype),
+                                  params, grads)
+            return params, stats
+        params, stats = jax.lax.fori_loop(
+            0, iters, body, (v["params"], v["batch_stats"]))
+        return jax.tree.leaves(params)[0]
+
+    return _time_chained(chained, variables, x, iters)
 
 
 def main():
@@ -72,14 +117,37 @@ def main():
         plans = dispatch_audit(size)
         row = {"agg_dispatch": plans}
         for batch in (64, 128):
-            dt = bench(size, batch)
+            dt, lo, hi = bench(size, batch)
             row[f"bs{batch}"] = {"ms_per_batch": round(dt * 1e3, 2),
+                                 "ms_spread": [round(lo * 1e3, 2),
+                                               round(hi * 1e3, 2)],
                                  "imgs_per_sec_chip": round(batch / dt, 1)}
             print(f"se_cotnetd_152 @{size} bs{batch} bf16: "
                   f"{dt * 1e3:.2f} ms/batch = {batch / dt:.0f} img/s/chip",
                   flush=True)
         out["tiers"][str(size)] = row
         print(f"  dispatch={plans}", flush=True)
+
+    # the flagship TRAIN rows (bs128, bs64 fallback; @320 if memory allows)
+    out["train"] = {}
+    for size, batches in ((224, (128, 64)), (320, (64,))):
+        for batch in batches:
+            try:
+                dt, lo, hi = bench_train(size, batch)
+            except Exception as e:  # XlaRuntimeError: RESOURCE_EXHAUSTED etc.
+                print(f"train @{size} bs{batch}: SKIPPED ({type(e).__name__}:"
+                      f" {str(e)[:120]})", flush=True)
+                out["train"][f"{size}_bs{batch}"] = {
+                    "skipped": str(e)[:200]}
+                continue
+            out["train"][f"{size}_bs{batch}"] = {
+                "ms_per_step": round(dt * 1e3, 2),
+                "ms_spread": [round(lo * 1e3, 2), round(hi * 1e3, 2)],
+                "imgs_per_sec_chip": round(batch / dt, 1)}
+            print(f"se_cotnetd_152 TRAIN @{size} bs{batch} bf16: "
+                  f"{dt * 1e3:.2f} ms/step = {batch / dt:.0f} img/s/chip",
+                  flush=True)
+            break  # first batch size that fits is the row
     dest = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "FLAGSHIP.json")
