@@ -137,12 +137,16 @@ def build_train(model_name: str, batch: int, size: int, impl: str, dtype,
     return chained, variables, x
 
 
-# measured platform envelope (tools/roofline.py, this tunneled v5e):
-# ~64 TFLOP/s bf16 matmul, ~127 GB/s effective elementwise HBM bandwidth.
-# MFU/roofline fractions below are against these MEASURED ceilings so perf
-# is tracked vs what this chip demonstrably delivers, not a spec sheet.
-MEASURED_BF16_TFLOPS = 64.0
-MEASURED_HBM_GBPS = 127.0
+# measured platform envelope (tools/roofline2.py, this tunneled v5e).
+# r4 CORRECTION: the r2 numbers (64 TFLOP/s, 127 GB/s) were poisoned by a
+# ~30 ms fixed relay cost per *dispatch* — 10, 50, or 200 chained trivial
+# fori_loop iterations all total ~32 ms — which dominated the small-shape
+# microbenches they came from.  Measured with the fixed cost subtracted
+# (and at sizes that swamp it): matmul-8192 runs 186 TFLOP/s (spec 197)
+# and a 206 MB elementwise scale streams 824 GB/s (spec 819).  MFU below
+# is therefore against near-spec silicon, not a relay artifact.
+MEASURED_BF16_TFLOPS = 186.0
+MEASURED_HBM_GBPS = 824.0
 
 
 # reductions are excluded: in the un-fused jaxpr they consume stacked/
@@ -222,7 +226,13 @@ def timeit(chained, variables, x, iters, repeats=3):
 
 
 def main():
-    batch, size, iters = 128, 224, 20
+    # iteration counts amortize the platform's ~30 ms fixed relay cost per
+    # dispatch (r4 finding, tools/roofline2.py): at the old iters=20/8 that
+    # cost inflated every reported batch time by 1.5/3.75 ms — measurement
+    # artifact, not device time (the r4 train trace shows 102.0 ms of
+    # device time where iters=8 chained timing reported 105.6).  Production
+    # training never pays it per step (metrics fetch at log intervals).
+    batch, size, iters = 128, 224, 50
     dtype = jnp.bfloat16
 
     fwd_p, v_p, x_p = build("cotnet50", batch, size, "pallas", dtype, iters)
@@ -232,7 +242,7 @@ def main():
     dt_xla, _, _ = timeit(fwd_x, v_x, x_x, iters)
 
     # train step (fwd+bwd+SGD) — driver-visible training throughput
-    t_iters = 8
+    t_iters = 24
     tr_p, tv_p, tx_p = build_train("cotnet50", batch, size, "pallas", dtype,
                                    t_iters)
     dt_train, dt_t_lo, dt_t_hi = timeit(tr_p, tv_p, tx_p, t_iters)

@@ -254,7 +254,7 @@ class Loader:
                  reprob: float = 0.0, remode: str = "pixel", recount: int = 1,
                  num_aug_splits: int = 0, dtype=jnp.float32, seed: int = 0,
                  mesh=None, tf_preprocessing: bool = False,
-                 worker_procs: bool = False):
+                 worker_procs: bool = False, aug_backend: str = "host"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.train = train
@@ -265,6 +265,20 @@ class Loader:
         self.worker_procs = worker_procs
         self._pool = None  # lazy; persists across epochs
         if train:
+            # Policy augments (RandAugment/AutoAugment/AugMix) default to
+            # the HOST workers (PIL, reference transforms_factory.py:86-98
+            # semantics): TPU general gathers are near-serial, putting the
+            # on-device path at ~4.2 s/batch of device time for the five
+            # affine ops + equalize (r4, tools/loader_bench.py) while PIL
+            # costs ~2-4 ms/image and scales with worker processes.
+            # aug_backend="device" restores the jnp in-graph path.
+            # num_aug_splits (AugMix JSD) keeps the device path: the split
+            # semantics are implemented there.
+            host_aug = None
+            if (aug_backend == "host" and auto_augment
+                    and not num_aug_splits and not tf_preprocessing):
+                from cotnet_tpu.data.host_augment import create_host_augment
+                host_aug = create_host_augment(auto_augment)
             if tf_preprocessing:
                 # TF-graph-parity host transform (reference loader.py:155,
                 # transforms_factory.py:196-198); policy augments still
@@ -277,9 +291,11 @@ class Loader:
             else:
                 dataset.transform = create_train_transform(
                     image_size, scale, ratio, hflip, vflip, interpolation,
-                    color_jitter=None if auto_augment else color_jitter)
+                    color_jitter=None if auto_augment else color_jitter,
+                    policy_augment=host_aug)
             from cotnet_tpu.data.auto_augment import create_batch_augment
-            ra = create_batch_augment(auto_augment)
+            ra = (None if host_aug is not None
+                  else create_batch_augment(auto_augment))
             re_ = (RandomErasing(reprob, mode=remode, count=recount,
                                  num_splits=num_aug_splits)
                    if reprob > 0 else None)

@@ -162,13 +162,19 @@ class Compose:
 def create_train_transform(size: int, scale=(0.08, 1.0), ratio=(3/4, 4/3),
                            hflip: float = 0.5, vflip: float = 0.0,
                            interpolation: str = "random",
-                           color_jitter: Optional[float] = None):
+                           color_jitter: Optional[float] = None,
+                           policy_augment=None):
+    """``policy_augment``: optional PIL-image callable (HostRandAugment /
+    HostAutoAugment / HostAugMix) applied after crop/flip, matching the
+    reference transform order (transforms_factory.py:80-98)."""
     fns = [RandomResizedCropAndInterpolation(size, scale, ratio, interpolation)]
     if hflip > 0:
         fns.append(RandomHorizontalFlip(hflip))
     if vflip > 0:
         fns.append(RandomVerticalFlip(vflip))
-    if color_jitter:
+    if policy_augment is not None:
+        fns.append(policy_augment)
+    elif color_jitter:
         # only when RandAugment is off (transforms_factory.py:86-98)
         fns.append(ColorJitter(color_jitter, color_jitter, color_jitter))
     fns.append(ToUint8())

@@ -162,7 +162,13 @@ def _pick_batch_block(x_shape, w_shape, itemsize, padding,
     (larger blocks coarsen the double-buffer overlap), hence the ho*wo
     <= 64 gate."""
     n, hi, wi, _ = x_shape
-    if hi * wi > 64:
+    if hi * wi > M_PACK_MAX_MAP:
+        return 1
+    if (affine or affine_dw) and hi * wi > 64:
+        # the affine (GN-fold) kernels book ~2x the modeled working set on
+        # big maps (measured: 19.8 MB scoped at 28x28x128 m=2 vs the 16 MB
+        # limit, r4) — keep the eval fold at m=1 there; plain fwd and the
+        # fused bwd pair pack independently
         return 1
     m = 1
     for cand in (2, 4, 8, 16):
@@ -236,6 +242,20 @@ DX_GATHER = _os.environ.get("COTNET_DX_GATHER", "1") == "1"
 # the scatter/slice-loop incumbents (measured crossover between 14x14 and
 # 28x28; tests lower it to force the big-map kernels on small shapes).
 DX_BIG_MAP_MIN = int(_os.environ.get("COTNET_DX_BIG_MAP_MIN", "400"))
+# Largest ho*wo eligible for multi-image block packing (m > 1).  The r2
+# heuristic pinned this at 64 (7-10px maps only) from microbenches that —
+# r4 finding — carried a ~30 ms fixed relay cost per dispatch, biasing
+# per-iter times by ~1.5 ms and hiding m-packing's relative wins on bigger
+# maps.  The r4 m-pack probe (tools/m_pack_bench.py, 28x28x128 bs128 bf16,
+# bias cancels within an A/B): m=2 fwd 2.065->1.886 ms, dw_dot
+# 2.454->2.283, dx_gather 2.062->2.033; m=4 exceeds scoped VMEM.
+# End-to-end r4 verdict: DEFAULT STAYS 64 — at 14x14 (=196, m=4) the full
+# train step is a wash (105.99 vs 106.36 ms same-day baseline) and infer
+# regresses (28.35 vs 27.62); at 28x28 (=784, m=2) the in-model fwd kernel
+# books 17.41 MB scoped VMEM > 16 MB (Mosaic keeps ~2x the modeled set
+# live when operands are fusion outputs, unlike the standalone probe) and
+# compilation fails.  The isolated win does not survive the step.
+M_PACK_MAX_MAP = int(_os.environ.get("COTNET_M_MAX_MAP", "64"))
 
 # A/B gate: cw->c lane replication as an MXU matmul instead of a lane-space
 # concatenate (see _tile_lanes).  Off by default pending on-chip measurement.

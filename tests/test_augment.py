@@ -165,3 +165,72 @@ def test_auto_augment_policies_run(policy):
     assert out.shape == batch.shape
     assert bool(jnp.all(jnp.isfinite(out)))
     assert float(jnp.max(out)) <= 255.0 + 1e-3
+
+
+def test_host_augment_ops_and_dispatch():
+    """Host (PIL) policy augment: every op runs at every magnitude sign,
+    each config family dispatches, and draws are deterministic under a
+    seeded `random` (the loader's per-worker/per-chunk seeding)."""
+    import random
+
+    from cotnet_tpu.data.host_augment import apply_op, create_host_augment
+    from cotnet_tpu.data.rand_augment import OP_NAMES
+
+    arr = np.random.RandomState(0).randint(0, 256, (48, 40, 3), np.uint8)
+    im = Image.fromarray(arr)
+    for nm in OP_NAMES:
+        for sign in (1.0, -1.0):
+            out = apply_op(nm, im, 10.0, sign)
+            assert out.size == im.size, nm
+            assert np.asarray(out).dtype == np.uint8
+    for cfg in ("rand-m15-mstd0.5-n2", "rand-m9-n3-w0", "augmix-m5-w4-d2",
+                "v0", "v0r", "original", "originalr"):
+        a = create_host_augment(cfg)
+        random.seed(3)
+        np.random.seed(3)
+        o1 = np.asarray(a(im))
+        random.seed(3)
+        np.random.seed(3)
+        o2 = np.asarray(a(im))
+        assert np.array_equal(o1, o2), cfg
+    # across seeds the augment must actually do something
+    a = create_host_augment("rand-m15-mstd0.5-n2")
+    changed = sum(
+        not np.array_equal(np.asarray(_seeded(a, im, s)), arr)
+        for s in range(10))
+    assert changed >= 5
+
+
+def _seeded(a, im, s):
+    import random
+    random.seed(s)
+    np.random.seed(s)
+    return a(im)
+
+
+def test_host_augment_matches_device_op_semantics():
+    """The host twin of _apply_op must produce the same image as the jnp op
+    for a deterministic op/magnitude (shared level arithmetic)."""
+    from cotnet_tpu.data.host_augment import apply_op
+
+    arr = np.random.RandomState(1).randint(0, 256, (32, 32, 3), np.uint8)
+    im = Image.fromarray(arr)
+    x = jnp.asarray(arr, jnp.float32)
+    for name, jnp_fn, tol in [
+            ("Invert", lambda: ra.invert(x), 0.01),
+            ("Solarize", lambda: ra.solarize(x, 192.0), 0.01),
+            ("Brightness", lambda: ra.brightness(x, 0.82), 1.01),
+            ("Rotate", lambda: ra.rotate(x, -22.5), 2.01)]:
+        # level arithmetic: pick level/sign reproducing the jnp arg
+        if name == "Invert":
+            host = apply_op(name, im, 10.0, 1.0)
+        elif name == "Solarize":
+            host = apply_op(name, im, 7.5, 1.0)       # floor(0.75*256)=192
+        elif name == "Brightness":
+            host = apply_op(name, im, 4.0, 1.0)       # 0.4*1.8+0.1 = 0.82
+        else:
+            host = apply_op(name, im, 7.5, -1.0)      # -0.75*30 = -22.5
+        ours = np.asarray(jnp_fn())
+        ref = np.asarray(host, np.float32)
+        frac = (np.abs(ours - ref) <= tol).mean()
+        assert frac >= 0.97, (name, frac)

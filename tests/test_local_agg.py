@@ -545,3 +545,39 @@ def test_mix_fused_single_launch():
                     5, 1, 2, 1)
     np.testing.assert_allclose(np.asarray(yh), np.concatenate([o1, o2], -1),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_m_pack_big_map_parity():
+    """m>1 block packing on big maps (COTNET_M_MAX_MAP, r4): fwd + fused
+    dx/dw at an m=2-eligible geometry must match the XLA formulation and the
+    oracle exactly as m=1 does."""
+    import cotnet_tpu.ops.local_agg_pallas as lap
+
+    old = lap.M_PACK_MAX_MAP
+    try:
+        lap.M_PACK_MAX_MAP = 784
+        n, h, c, cw, k = 4, 14, 32, 4, 3
+        plan = lap.pallas_plan((n, h, h, c), (n, h, h, 1, k * k, cw), 4,
+                               (1, 1))
+        assert plan is not None and plan[0] == "whole" and plan[1] > 1, plan
+        ks = jax.random.split(jax.random.PRNGKey(7), 2)
+        x = np.asarray(jax.random.normal(ks[0], (n, h, h, c), jnp.float32))
+        w = np.asarray(jax.random.normal(
+            ks[1], (n, h, h, 1, k * k, cw), jnp.float32))
+        out = local_aggregate(jnp.asarray(x), jnp.asarray(w), kernel_size=k,
+                              padding=1, impl="pallas")
+        ref = oracle_agg(x.astype(np.float64), w.astype(np.float64), k, 1, 1,
+                         1)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+        def f(impl):
+            return lambda x, w: jnp.sum(jnp.sin(local_aggregate(
+                x, w, kernel_size=k, padding=1, impl=impl)))
+
+        ga = jax.grad(f("xla"), (0, 1))(jnp.asarray(x), jnp.asarray(w))
+        gb = jax.grad(f("pallas"), (0, 1))(jnp.asarray(x), jnp.asarray(w))
+        for name, a, b in zip("xw", ga, gb):
+            rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
+            assert rel < 1e-5, (name, rel)
+    finally:
+        lap.M_PACK_MAX_MAP = old

@@ -94,6 +94,11 @@ def main():
     tt = create_train_transform(224)
     res["decode_train_transform_img_s"] = rate(
         lambda p: tt(Image.open(p).convert("RGB")), paths)
+    from cotnet_tpu.data.host_augment import create_host_augment
+    ha = create_host_augment("rand-m15-mstd0.5-n2")
+    tt_aug = create_train_transform(224, policy_augment=ha)
+    res["decode_train_hostaug_img_s"] = rate(
+        lambda p: tt_aug(Image.open(p).convert("RGB")), paths)
     et = create_eval_transform(224)
     res["decode_eval_transform_img_s"] = rate(
         lambda p: et(Image.open(p).convert("RGB")), paths)
@@ -124,31 +129,44 @@ def main():
         res[f"loader_{name}_img_s"] = n / (time.perf_counter() - t0)
         loader.close()
 
-    # -- device-augment alone (the only on-chip stage of the loader) ------
+    # -- gated ALTERNATIVE: on-device rand-augment (aug_backend="device").
+    # Measured with a real fetch (the relay acks block_until_ready early —
+    # unfetched timings on this platform are fake).  r4 finding: ~4.2 s/
+    # batch of real device time — TPU general gathers are near-serial, so
+    # the five affine ops' bilinear gathers + equalize's LUT dominate;
+    # hence the host-PIL default.
     key = jax.random.PRNGKey(0)
-    u8 = np.zeros((BS, 224, 224, 3), np.uint8)
+    u8 = jax.device_put(np.zeros((BS, 224, 224, 3), np.uint8))
     from cotnet_tpu.data.auto_augment import create_batch_augment
     from cotnet_tpu.data.loader import make_device_augment
     from cotnet_tpu.data.random_erasing import RandomErasing
     aug = make_device_augment(rand_augment=create_batch_augment(
         "rand-m15-mstd0.5-n2"), random_erasing=RandomErasing(0.25))
-    aug(key, u8).block_until_ready()
+    np.asarray(aug(key, u8).ravel()[0])
     t0 = time.perf_counter()
-    for i in range(20):
-        out = aug(jax.random.fold_in(key, i), u8)
-    out.block_until_ready()
-    res["device_augment_img_s"] = 20 * BS / (time.perf_counter() - t0)
+    for i in range(3):
+        np.asarray(aug(jax.random.fold_in(key, i), u8).ravel()[0])
+    res["device_augment_img_s"] = 3 * BS / (time.perf_counter() - t0)
 
     # -- the scaling bound --------------------------------------------------
-    per_core = res["loader_train_img_s"]
+    # per-core host throughput at the production recipe = decode + crop/
+    # flip + PIL RandAugment (the loader's worker stage); collate and H2D
+    # ride other threads.  Worker processes share nothing, so host rate
+    # scales linearly in cores until collate binds.
+    per_core = res["decode_train_hostaug_img_s"]
     res["chip_train_target_img_s"] = TRAIN_TARGET
     res["chip_eval_target_img_s"] = EVAL_TARGET
     res["cores_for_1_25x_train"] = 1.25 * TRAIN_TARGET / per_core
-    res["cores_for_eval"] = EVAL_TARGET / res["loader_eval_img_s"]
+    res["cores_for_eval"] = EVAL_TARGET / res["decode_eval_transform_img_s"]
+    res["loader_e2e_note"] = (
+        "loader_*_img_s above is end-to-end ON THIS 1-CORE BOX including "
+        "the tunnel's ~141 MB/s H2D relay (19 MB/batch); per-core stage "
+        "rates are the scaling-relevant numbers")
     res["scaling_note"] = (
-        "worker processes share nothing (decode+transform per process, "
-        "C++ collate releases the GIL); host rate scales linearly in "
-        "cores until collate (%.0f img/s/core) binds" % res["collate_img_s"])
+        "worker processes share nothing (decode+transform+augment per "
+        "process, C++ collate releases the GIL); host rate scales linearly "
+        "in cores until collate (%.0f img/s/core) binds"
+        % res["collate_img_s"])
 
     print(json.dumps(res, indent=1), flush=True)
     if OUT:

@@ -54,8 +54,13 @@ def classify(e):
     return phase, where, cat, sloc, op
 
 
-HBM_GBPS = 127.0       # measured elementwise envelope (tools/roofline.py)
-MXU_TFLOPS = 64.0      # measured bf16 matmul envelope
+# r4 corrected envelope (tools/roofline2.py): the r2 numbers (127 GB/s,
+# 64 TFLOP/s) were poisoned by a ~30 ms fixed relay cost PER DISPATCH that
+# dominates small chained microbenches (10/50/200 trivial fori_loop iters
+# all total ~32 ms).  Subtracting it: 206MB-buffer elementwise moves
+# 824 GB/s (spec 819), matmul-8192 runs 186 TFLOP/s (spec 197).
+HBM_GBPS = 824.0
+MXU_TFLOPS = 186.0
 
 
 def _num(args, *keys):
