@@ -1,0 +1,122 @@
+"""End-to-end ON-CHIP real-data training throughput -> E2E_r04.json.
+
+The full production path on real hardware: JPEG tree -> worker decode ->
+RandomResizedCrop/flip + host PIL RandAugment -> C++ collate -> H2D ->
+on-device normalize/mixup -> jitted train step (Pallas kernels) -> EMA,
+measuring steady-state end-to-end images/sec and the loss trajectory.
+
+On this 1-core box the pipeline is host-bound by design (LOADER_r04.json:
+host stage 293 img/s/core vs chip 1240); the artifact documents the
+achieved e2e rate against both bounds — the system-level proof that
+training actually runs off real data on the real chip at the rate the
+loader model predicts.
+
+Run: python -u tools/e2e_chip_train.py [steps] [out.json]
+Uses the loader_bench corpus (/tmp/loader_bench_imgs; built if absent).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+OUT = sys.argv[2] if len(sys.argv) > 2 else None
+BS, SIZE = 128, 224
+
+
+def main():
+    from tools.loader_bench import make_corpus
+
+    root = "/tmp/loader_bench_imgs"
+    marker = os.path.join(root, ".done768")
+    if not os.path.exists(marker):
+        avg = make_corpus(root, 768)
+        open(marker, "w").write(str(avg))
+
+    import jax
+    import jax.numpy as jnp
+
+    from cotnet_tpu.data.dataset import ImageFolderDataset
+    from cotnet_tpu.data.loader import Loader
+    from cotnet_tpu.data.mixup import Mixup
+    from cotnet_tpu.models import create_model
+    from cotnet_tpu.train.loss import soft_target_cross_entropy
+    from cotnet_tpu.train.optim import create_optimizer
+    from cotnet_tpu.train.schedule import create_scheduler
+    from cotnet_tpu.train.state import TrainState
+    from cotnet_tpu.train.step import make_train_step
+
+    ds = ImageFolderDataset(root)
+    n_classes = len(ds.class_to_idx)
+    loader = Loader(ds, BS, train=True, image_size=SIZE,
+                    workers=os.cpu_count(),
+                    auto_augment="rand-m15-mstd0.5-n2", reprob=0.0,
+                    dtype=jnp.bfloat16)
+    model = create_model("cotnet50", num_classes=n_classes,
+                         dtype=jnp.bfloat16)
+    schedule_fn, _ = create_scheduler(
+        dict(sched="cosine", epochs=4, lr=0.05, warmup_epochs=1,
+             warmup_lr=1e-4, min_lr=1e-5), steps_per_epoch=6)
+    tx = create_optimizer(
+        dict(opt="sgd", momentum=0.9, weight_decay=4e-5), schedule_fn)
+    x0 = jnp.zeros((BS, SIZE, SIZE, 3), jnp.bfloat16)
+    variables = jax.jit(
+        lambda r, x: model.init({"params": r}, x, training=True)
+    )(jax.random.PRNGKey(0), x0)
+    state = TrainState.create(variables, tx, ema=True)
+    mixup = Mixup(mixup_alpha=0.8, cutmix_alpha=1.0, label_smoothing=0.1,
+                  num_classes=n_classes)
+    train_step = make_train_step(model, tx, schedule_fn,
+                                 soft_target_cross_entropy,
+                                 ema_decay=0.9999, mixup_fn=mixup)
+
+    rng = jax.random.PRNGKey(1)
+    losses, n_done, t0 = [], 0, None
+    step = 0
+    t_start = time.time()
+    while step < STEPS:
+        loader.set_epoch(step * BS // 768)
+        for batch in loader:
+            b = {"image": batch["image"], "label": batch["label"]}
+            state, metrics = train_step(state, b,
+                                        jax.random.fold_in(rng, step))
+            losses.append(float(metrics["loss"]))  # forces a real fetch
+            step += 1
+            if step == 3:
+                t0 = time.time()   # exclude compile + warmup steps
+            elif step > 3:
+                n_done += BS
+            if step >= STEPS:
+                break
+    wall = time.time() - t0
+    loader.close()
+
+    res = {
+        "model": "cotnet50", "image_size": SIZE, "batch_size": BS,
+        "steps": STEPS, "host_cores": os.cpu_count(),
+        "platform": jax.default_backend(),
+        "e2e_imgs_per_sec": round(n_done / wall, 1),
+        "loss_first3": [round(v, 4) for v in losses[:3]],
+        "loss_last3": [round(v, 4) for v in losses[-3:]],
+        "total_wall_s": round(time.time() - t_start, 1),
+        "bounds": {
+            "host_stage_img_s_per_core": 293.3,   # LOADER_r04.json
+            "chip_train_img_s": 1239.5,           # BENCH_r04
+            "note": "1-core box: e2e is host-bound; per-step fetch of the "
+                    "loss adds the ~30 ms relay round-trip per step "
+                    "(production fetches at log intervals only)",
+        },
+    }
+    assert all(map(lambda v: v == v and abs(v) < 1e9, losses)), losses
+    assert sum(losses[-3:]) < sum(losses[:3]), (
+        f"no learning: {losses[:3]} -> {losses[-3:]}")
+    print(json.dumps(res, indent=1), flush=True)
+    if OUT:
+        with open(OUT, "w") as f:
+            json.dump(res, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
