@@ -242,7 +242,7 @@ def main():
     dt_xla, _, _ = timeit(fwd_x, v_x, x_x, iters)
 
     # train step (fwd+bwd+SGD) — driver-visible training throughput
-    t_iters = 24
+    t_iters = 40
     tr_p, tv_p, tx_p = build_train("cotnet50", batch, size, "pallas", dtype,
                                    t_iters)
     dt_train, dt_t_lo, dt_t_hi = timeit(tr_p, tv_p, tx_p, t_iters)

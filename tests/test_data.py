@@ -244,3 +244,30 @@ def test_tf_resize_matches_recorded_semantics():
             idx, w = _resize_weights_1d(in_size, out_size, method)
             np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-6)
             assert idx.min() >= 0 and idx.max() < in_size
+
+
+def test_loader_host_augment_worker_procs(image_tree):
+    """Host PIL policy augment (the r4 default backend) through the
+    process-pool path: the transform (with HostRandAugment) pickles into
+    workers, per-chunk seeding makes epochs deterministic, and the device
+    pipeline no longer carries the jnp RandAugment program."""
+    ds = ImageFolderDataset(image_tree)
+    loader = Loader(ds, batch_size=8, train=True, image_size=32, workers=2,
+                    seed=5, worker_procs=True,
+                    auto_augment="rand-m15-mstd0.5-n2", reprob=0.0)
+    try:
+        from cotnet_tpu.data.transforms import Compose
+        assert isinstance(ds.transform, Compose)
+        from cotnet_tpu.data.host_augment import HostRandAugment
+        assert any(isinstance(f, HostRandAugment) for f in ds.transform.fns)
+        e1 = [np.asarray(b["image"]) for b in loader]
+        assert e1 and e1[0].shape == (8, 32, 32, 3)
+        assert all(np.isfinite(a).all() for a in e1)
+        # determinism: same epoch -> identical augmented pixels
+        e1b = [np.asarray(b["image"]) for b in loader]
+        np.testing.assert_array_equal(np.stack(e1), np.stack(e1b))
+        loader.set_epoch(1)
+        e2 = [np.asarray(b["image"]) for b in loader]
+        assert not np.array_equal(np.stack(e1), np.stack(e2))
+    finally:
+        loader.close()
