@@ -270,6 +270,23 @@ TILE_DOT = _os.environ.get("COTNET_TILE_DOT", "0") == "1"
 # platform's ~10% process-to-process drift, so the low-noise isolated
 # numbers decide).  TPU grad parity vs XLA autodiff: relerr <= 8e-7 f32.
 FUSED_BWD = _os.environ.get("COTNET_FUSED_BWD", "1") == "1"
+# CHWN (batch-on-lanes) kernels: transpose the op to [G, Cw, H, W, N] so the
+# BATCH fills the 128-lane dim and the group structure lands on MAJOR dims —
+# the cw->c replication becomes block indexing and the c->cw reduction an SSA
+# chain over g, deleting every lane-space shuffle that bound the NHWC kernels
+# at 10-16% of byte bound (r4 roofline table).  Boundary transposes are XLA's
+# (tiled, ~2x bytes on each tensor) and are included in all measurements.
+# See chwn_plan for eligibility; tools/chwn_bench.py for the shootout.
+CHWN_DISPATCH = _os.environ.get("COTNET_CHWN", "1") == "1"
+# tests lift the N-fills-lanes gate to exercise the kernels at toy sizes
+CHWN_ANY_N = _os.environ.get("COTNET_CHWN_ANY_N", "0") == "1"
+# smallest output map (ho*wo) where CHWN wins (isolated chained A/B,
+# tools/chwn_bench.py, v5e bf16 bs128 — artifact cancels at equal iters):
+# 28x28x128 fwd 2.017->1.695 bwd 3.821->2.077, 14x14x256 fwd 1.860->1.487
+# bwd 1.861->1.693, but 7x7x512 LOSES (0.93x/0.92x: W=7 pads to 16
+# sublanes and the boundary transposes outweigh the lane win), so the
+# late-stage maps stay on the NHWC kernels.
+CHWN_MIN_MAP = int(_os.environ.get("COTNET_CHWN_MIN_MAP", "100"))
 _WLOOP_GROUP = 2
 _WLOOP_BUDGET_BYTES = 16 * 1024 * 1024
 
@@ -822,6 +839,277 @@ def _dw_strip_kernel(x_ref, dy_ref, dwf_ref, xp_ref, *, s, kh, kw, dh,
                 dwf_ref[:, :, :, k * cw:(k + 1) * cw] = acc.astype(out_dtype)
 
 
+# ---------------------------------------------------------------------------
+# CHWN (batch-on-lanes) kernels.
+#
+# Layout [G, Cw, H, W, N]: N on lanes (full 128-wide FMAs at the production
+# batch), W on sublanes (tap shifts are static sublane slices), and the
+# channel-group structure (g, cw) plus H on MAJOR dims, where indexing is
+# free.  This is the transpose of the reference CUDA kernels' per-thread
+# scalar indexing (aggregation_zeropad.py:20-110) into the TPU's vector
+# units: the NHWC kernels above pay lane-space shuffles for the cw->c
+# replication (fwd/dx) and the c->cw group reduction (dw); here both are
+# plain block reads/SSA adds over major dims.  Boundary transposes
+# NHWC<->CHWN ride XLA's tiled transpose and are charged to the op in every
+# measurement (tools/chwn_bench.py).
+# ---------------------------------------------------------------------------
+
+# block-working-set budgets calibrated on-chip (v5e, 16 MB scoped VMEM):
+# fwd at 28x28x128 full-G books ~14 MB modeled and compiles; bwd full-G
+# booked 16.29 MB (OOM) and splits G until the model fits.
+_CHWN_BUDGET_BYTES = 15 * 1024 * 1024
+
+
+def _chwn_fwd_ws(gs, k2, hp, wp, ho, wo, n, itemsize) -> int:
+    """Blocks + live f32 SSA temporaries for the CHWN forward at G-split
+    ``gs`` (temps follow _working_set's calibrated ``3 + k2//4`` rule)."""
+    blocks = (_tiled_bytes((gs, 1, hp, wp, n), itemsize)
+              + _tiled_bytes((1, k2, ho, wo, n), itemsize)
+              + _tiled_bytes((gs, 1, ho, wo, n), itemsize))
+    temps = (3 + k2 // 4) * _tiled_bytes((1, 1, ho, wo, n), 4)
+    return blocks + temps
+
+
+def _chwn_bwd_ws(gs, k2, hp, wp, he, we, hi, wi, ho, wo, n,
+                 itemsize) -> int:
+    """Fused dx+dw blocks + temps: the dx chain holds ~k2 taps and the dw
+    chain ~gs group partials (measured: full-G at 28x28x128 books 16.29 MB
+    where blocks alone model 10 MB — the +k2+gs temp terms close that)."""
+    blocks = (_tiled_bytes((gs, 1, hp, wp, n), itemsize)
+              + _tiled_bytes((1, k2, he, we, n), itemsize)
+              + _tiled_bytes((gs, 1, he, we, n), itemsize)
+              + _tiled_bytes((gs, 1, hi, wi, n), itemsize)
+              + _tiled_bytes((1, 1, k2, ho, wo, n), itemsize))
+    temps = (k2 + gs + 2) * _tiled_bytes((1, 1, hi, wi, n), 4)
+    return blocks + temps
+
+
+def chwn_plan(x_shape, w_shape, itemsize, padding):
+    """(gs_fwd, gs_bwd) G-split sizes for the CHWN kernels, or None.
+
+    Eligible when heads == 1 (the CoT geometry), N fills whole lane tiles
+    (N % 128 == 0; lifted in tests via COTNET_CHWN_ANY_N), the gather-form
+    backward offsets are in range, and both working sets fit at some
+    power-of-two G split.  Stage 1 (56x56) self-excludes: its K2 weight
+    block alone approaches the scoped-VMEM limit."""
+    if not CHWN_DISPATCH:
+        return None
+    n, hi, wi, c = x_shape
+    _, ho, wo, heads, k2, cw = w_shape
+    if heads != 1 or c % cw:
+        return None
+    if ho * wo < CHWN_MIN_MAP and not (CHWN_ANY_N and _use_interpret()):
+        return None
+    if n % 128 != 0 and not (CHWN_ANY_N and _use_interpret()):
+        return None
+    g = c // cw
+    hp, wp = hi + 2 * padding[0], wi + 2 * padding[1]
+    lh = (hp - ho) - padding[0]
+    lw = (wp - wo) - padding[1]
+    if lh < 0 or lw < 0:
+        return None
+    he, we = ho + 2 * lh, wo + 2 * lw
+
+    def shrink(ws_fn):
+        gs = g
+        while gs > 1 and ws_fn(gs) > _CHWN_BUDGET_BYTES:
+            gs //= 2
+        return gs if ws_fn(gs) <= _CHWN_BUDGET_BYTES else None
+
+    gf = shrink(lambda s: _chwn_fwd_ws(s, k2, hp, wp, ho, wo, n, itemsize))
+    gb = shrink(lambda s: _chwn_bwd_ws(s, k2, hp, wp, he, we, hi, wi, ho,
+                                       wo, n, itemsize))
+    if gf is None or gb is None:
+        return None
+    return gf, gb
+
+
+def _fwd_chwn_kernel(xp_ref, w_ref, s_ref, b_ref, out_ref, *, kh, kw, dh,
+                     dw, gs, ho, wo):
+    """out[g, 0, ho, wo, n] = sum_k wn[0, k, ho, wo, n]
+                                    * xp[g, 0, ho+kh*dh, wo+kw*dw, n]
+    with ``wn = w*s + b`` when the affine refs are present (GroupNorm fold).
+
+    Blocks: xp [Gs, 1(cw), Hp, Wp, N], w [1(cw), K2, Ho, Wo, N],
+    s/b [1, K2, 1, 1, N] f32, out [Gs, 1, Ho, Wo, N]; grid (cw, G/Gs).
+    All slices are major-dim (g, k, h) or static sublane (w) offsets."""
+    out_dtype = out_ref.dtype
+    for gi in range(gs):
+        acc = None
+        for ikh in range(kh):
+            for ikw in range(kw):
+                k = ikh * kw + ikw
+                xs = xp_ref[gi, 0, ikh * dh:ikh * dh + ho,
+                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
+                wk = w_ref[0, k].astype(jnp.float32)
+                if s_ref is not None:
+                    wk = wk * s_ref[0, k] + b_ref[0, k]
+                tap = xs * wk
+                acc = tap if acc is None else acc + tap
+        out_ref[gi, 0] = acc.astype(out_dtype)
+
+
+def _dxdw_chwn_kernel(xp_ref, wp_ref, dyp_ref, dx_ref, dw_ref, *, kh, kw,
+                      dh, dw, gs, ho, wo, hi, wi, lh, lw):
+    """Fused dx+dw, CHWN layout: gather-form dx (static shifted slices of
+    the pre-padded dy/w), dw group reduction as an SSA chain over the g
+    MAJOR dim (the NHWC kernels' lane-space weak spot).
+
+    Blocks: xp [Gs, 1, Hp, Wp, N], wp [1, K2, Ho+2lh, Wo+2lw, N],
+    dyp [Gs, 1, Ho+2lh, Wo+2lw, N]; dx [Gs, 1, Hi, Wi, N],
+    dw [1, 1, K2, Ho, Wo, N] (per-G-split partial, summed outside when the
+    grid splits G); grid (cw, G/Gs)."""
+    out_dtype = dx_ref.dtype
+    for gi in range(gs):
+        acc = None
+        for ikh in range(kh):
+            for ikw in range(kw):
+                k = ikh * kw + ikw
+                sh = (kh - 1) * dh - ikh * dh
+                sw = (kw - 1) * dw - ikw * dw
+                dys = dyp_ref[gi, 0, sh:sh + hi,
+                              sw:sw + wi, :].astype(jnp.float32)
+                wk = wp_ref[0, k, sh:sh + hi,
+                            sw:sw + wi, :].astype(jnp.float32)
+                tap = dys * wk
+                acc = tap if acc is None else acc + tap
+        dx_ref[gi, 0] = acc.astype(out_dtype)
+    dw_dtype = dw_ref.dtype
+    for ikh in range(kh):
+        for ikw in range(kw):
+            k = ikh * kw + ikw
+            red = None
+            for gi in range(gs):
+                xs = xp_ref[gi, 0, ikh * dh:ikh * dh + ho,
+                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
+                dys = dyp_ref[gi, 0, lh:lh + ho,
+                              lw:lw + wo, :].astype(jnp.float32)
+                t = xs * dys
+                red = t if red is None else red + t
+            dw_ref[0, 0, k] = red.astype(dw_dtype)
+
+
+def _to_chwn(x, g, cw, pad_h=0, pad_w=0):
+    """[N, H, W, C] -> [G, Cw, H(+2ph), W(+2pw), N] (pad, then XLA tiled
+    transpose; the C->(G, Cw) split is a free reshape because cw is the
+    minor part of the channel index: c = g*Cw + cw)."""
+    if pad_h or pad_w:
+        x = jnp.pad(x, [(0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0)])
+    n, h, w_, c = x.shape
+    return jnp.transpose(x, (3, 1, 2, 0)).reshape(g, cw, h, w_, n)
+
+
+def _from_chwn(xt):
+    """[G, Cw, H, W, N] -> [N, H, W, C]."""
+    g, cw, h, w_, n = xt.shape
+    return jnp.transpose(xt.reshape(g * cw, h, w_, n), (3, 1, 2, 0))
+
+
+def _w_to_chwn(w, pad_h=0, pad_w=0):
+    """[N, Ho, Wo, 1, K2, Cw] -> [Cw, K2, Ho(+2ph), Wo(+2pw), N]."""
+    wsq = w[:, :, :, 0]
+    if pad_h or pad_w:
+        wsq = jnp.pad(wsq, [(0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0),
+                            (0, 0)])
+    return jnp.transpose(wsq, (4, 3, 1, 2, 0))
+
+
+def _agg_fwd_chwn(x, w, s, b, geo, padding, gs):
+    """CHWN forward dispatch: transpose in, one pallas_call over
+    (cw, G/gs), transpose out.  s/b: optional [N, 1, K2, Cw] f32 affine."""
+    n, hi, wi, c = x.shape
+    _, ho, wo, _, k2, cw = w.shape
+    g = c // cw
+    hp, wp = hi + 2 * geo["ph"], wi + 2 * geo["pw"]
+    xt = _to_chwn(x, g, cw, geo["ph"], geo["pw"])
+    wt = _w_to_chwn(w)
+    affine = s is not None
+    ins = [xt, wt]
+    in_specs = [
+        pl.BlockSpec((gs, 1, hp, wp, n), lambda i, sp: (sp, i, 0, 0, 0)),
+        pl.BlockSpec((1, k2, ho, wo, n), lambda i, sp: (i, 0, 0, 0, 0)),
+    ]
+    if affine:
+        # [N, 1, K2, Cw] -> [Cw, K2, 1, 1, N] f32
+        def aff_t(a):
+            return jnp.transpose(a[:, 0].astype(jnp.float32),
+                                 (2, 1, 0))[:, :, None, None, :]
+        ins += [aff_t(s), aff_t(b)]
+        in_specs += [pl.BlockSpec((1, k2, 1, 1, n),
+                                  lambda i, sp: (i, 0, 0, 0, 0))] * 2
+    kern = functools.partial(
+        _fwd_chwn_kernel if affine else
+        (lambda xr, wr, outr, **kw_: _fwd_chwn_kernel(xr, wr, None, None,
+                                                      outr, **kw_)),
+        kh=geo["kh"], kw=geo["kw"], dh=geo["dh"], dw=geo["dw"], gs=gs,
+        ho=ho, wo=wo)
+    out_t = pl.pallas_call(
+        kern,
+        grid=(cw, g // gs),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((gs, 1, ho, wo, n),
+                               lambda i, sp: (sp, i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, cw, ho, wo, n), x.dtype),
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * ho * wo * geo["kh"] * geo["kw"] * c,
+            bytes_accessed=(x.size + w.size + n * ho * wo * c)
+            * x.dtype.itemsize,
+            transcendentals=0),
+    )(*ins)
+    return _from_chwn(out_t)
+
+
+def _agg_bwd_chwn(x, w, dy, geo, padding, gs):
+    """CHWN fused dx+dw dispatch (gather-form; requires lh, lw >= 0)."""
+    n, hi, wi, c = x.shape
+    _, ho, wo, _, k2, cw = w.shape
+    g = c // cw
+    hp, wp = hi + 2 * geo["ph"], wi + 2 * geo["pw"]
+    lh = (geo["kh"] - 1) * geo["dh"] - geo["ph"]
+    lw = (geo["kw"] - 1) * geo["dw"] - geo["pw"]
+    he, we = ho + 2 * lh, wo + 2 * lw
+    nsplit = g // gs
+    xt = _to_chwn(x, g, cw, geo["ph"], geo["pw"])
+    dyt = _to_chwn(dy, g, cw, lh, lw)
+    wt = _w_to_chwn(w, lh, lw)
+    kern = functools.partial(_dxdw_chwn_kernel, kh=geo["kh"], kw=geo["kw"],
+                             dh=geo["dh"], dw=geo["dw"], gs=gs, ho=ho,
+                             wo=wo, hi=hi, wi=wi, lh=lh, lw=lw)
+    dx_t, dw_t = pl.pallas_call(
+        kern,
+        grid=(cw, nsplit),
+        in_specs=[
+            pl.BlockSpec((gs, 1, hp, wp, n), lambda i, sp: (sp, i, 0, 0, 0)),
+            pl.BlockSpec((1, k2, he, we, n), lambda i, sp: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((gs, 1, he, we, n), lambda i, sp: (sp, i, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((gs, 1, hi, wi, n), lambda i, sp: (sp, i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, k2, ho, wo, n),
+                         lambda i, sp: (sp, i, 0, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, cw, hi, wi, n), x.dtype),
+            jax.ShapeDtypeStruct((nsplit, cw, k2, ho, wo, n), w.dtype),
+        ],
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * ho * wo * geo["kh"] * geo["kw"] * c,
+            bytes_accessed=(2 * x.size + 2 * w.size + n * ho * wo * c)
+            * x.dtype.itemsize,
+            transcendentals=0),
+    )(xt, wt, dyt)
+    dx = _from_chwn(dx_t)
+    # per-split dw partials: each is an f32 SSA chain rounded once; the
+    # cross-split sum re-accumulates in f32 (bit-identical when nsplit == 1)
+    dw_s = dw_t[0] if nsplit == 1 else jnp.sum(
+        dw_t.astype(jnp.float32), axis=0).astype(w.dtype)
+    # [Cw, K2, Ho, Wo, N] -> [N, Ho, Wo, 1, K2, Cw]
+    dwk = jnp.transpose(dw_s, (4, 2, 3, 1, 0))[:, :, :, None]
+    return dx, dwk
+
+
 def _geometry(x_shape, w_shape, kernel_size, dilation, padding):
     n, hi, wi, c = x_shape
     _, ho, wo, heads, k2, cw = w_shape
@@ -865,6 +1153,9 @@ def _agg_fwd_impl(x, w, kernel_size, dilation, padding):
     n, hi, wi, c = x.shape
     ho, wo, heads = geo["ho"], geo["wo"], geo["heads"]
     hp, wp = hi + 2 * geo["ph"], wi + 2 * geo["pw"]
+    cp = chwn_plan(x.shape, w.shape, x.dtype.itemsize, padding)
+    if cp is not None:
+        return _agg_fwd_chwn(x, w, None, None, geo, padding, cp[0])
     wf = _flat_weight(w)
     plan = pallas_plan(x.shape, w.shape, x.dtype.itemsize, padding)
     assert plan is not None, "caller must gate on pallas_plan"
@@ -939,6 +1230,9 @@ def _agg_bwd_rule(kernel_size, dilation, padding, res, dy):
     ho, wo, heads = geo["ho"], geo["wo"], geo["heads"]
     hp, wp = hi + 2 * geo["ph"], wi + 2 * geo["pw"]
     ph, pw_ = geo["ph"], geo["pw"]
+    cp = chwn_plan(x.shape, w.shape, x.dtype.itemsize, padding)
+    if cp is not None:
+        return _agg_bwd_chwn(x, w, dy, geo, padding, cp[1])
     wf = _flat_weight(w)
     plan = pallas_plan(x.shape, w.shape, x.dtype.itemsize, padding)
     assert plan is not None
@@ -1148,6 +1442,9 @@ def _agg_affine_fwd_impl(x, w, s, b, kernel_size, dilation, padding):
     n, hi, wi, c = x.shape
     ho, wo, heads = geo["ho"], geo["wo"], geo["heads"]
     hp, wp = hi + 2 * geo["ph"], wi + 2 * geo["pw"]
+    cp = chwn_plan(x.shape, w.shape, x.dtype.itemsize, padding)
+    if cp is not None:
+        return _agg_fwd_chwn(x, w, s, b, geo, padding, cp[0])
     wf = _flat_weight(w)
     sf, bf = _flat_affine(s), _flat_affine(b)
     plan = pallas_plan(x.shape, w.shape, x.dtype.itemsize, padding,

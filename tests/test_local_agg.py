@@ -581,3 +581,86 @@ def test_m_pack_big_map_parity():
             assert rel < 1e-5, (name, rel)
     finally:
         lap.M_PACK_MAX_MAP = old
+
+
+def test_chwn_kernels_parity():
+    """The CHWN (batch-on-lanes) kernels (COTNET_CHWN): forward and the
+    fused dx+dw backward in the [G, Cw, H, W, N] layout match the XLA
+    formulation and the numpy oracle, including a forced G split (nsplit>1,
+    the cross-split f32 dw re-accumulation) and dilation>1."""
+    import cotnet_tpu.ops.local_agg_pallas as lap
+
+    old = (lap.CHWN_DISPATCH, lap.CHWN_ANY_N, lap._CHWN_BUDGET_BYTES)
+    try:
+        lap.CHWN_DISPATCH = True
+        lap.CHWN_ANY_N = True
+        for (n, h, c, cw, k, d, split) in [
+                (4, 9, 16, 2, 3, 1, False),   # g=8, one grid split
+                (4, 9, 16, 2, 3, 1, True),    # forced G split (nsplit>1)
+                (4, 8, 24, 3, 5, 1, False),   # K=5
+                (4, 9, 16, 4, 3, 2, False),   # dilated
+        ]:
+            lap._CHWN_BUDGET_BYTES = old[2]
+            pad = (d * (k - 1) + 1) // 2
+            xs = (n, h, h, c)
+            ws = (n, h, h, 1, k * k, cw)
+            if split:
+                # shrink the budget until the plan splits G
+                plan = lap.chwn_plan(xs, ws, 4, (pad, pad))
+                assert plan is not None
+                while lap.chwn_plan(xs, ws, 4, (pad, pad))[1] == c // cw:
+                    lap._CHWN_BUDGET_BYTES //= 2
+            plan = lap.chwn_plan(xs, ws, 4, (pad, pad))
+            assert plan is not None, (n, h, c, cw, k, d)
+            if split:
+                assert plan[1] < c // cw, plan
+            ks = jax.random.split(jax.random.PRNGKey(h * c + k), 2)
+            x = np.asarray(jax.random.normal(ks[0], xs, jnp.float32))
+            w = np.asarray(jax.random.normal(ks[1], ws, jnp.float32))
+            out = local_aggregate(jnp.asarray(x), jnp.asarray(w),
+                                  kernel_size=k, padding=pad, dilation=d,
+                                  impl="pallas")
+            ref = oracle_agg(x.astype(np.float64), w.astype(np.float64),
+                             k, 1, pad, d)
+            np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+            def f(impl):
+                return lambda x, w: jnp.sum(jnp.sin(local_aggregate(
+                    x, w, kernel_size=k, padding=pad, dilation=d,
+                    impl=impl)))
+
+            ga = jax.grad(f("xla"), (0, 1))(jnp.asarray(x), jnp.asarray(w))
+            gb = jax.grad(f("pallas"), (0, 1))(jnp.asarray(x),
+                                               jnp.asarray(w))
+            for name, a, b in zip("xw", ga, gb):
+                rel = float(jnp.abs(a - b).max()
+                            / (jnp.abs(a).max() + 1e-9))
+                assert rel < 1e-5, (n, h, k, d, split, name, rel)
+    finally:
+        lap.CHWN_DISPATCH, lap.CHWN_ANY_N, lap._CHWN_BUDGET_BYTES = old
+
+
+def test_chwn_affine_fwd_parity():
+    """CHWN affine-folded forward (the eval GroupNorm fold) == aggregation
+    with the normalized weight materialized outside."""
+    import cotnet_tpu.ops.local_agg_pallas as lap
+
+    old = (lap.CHWN_DISPATCH, lap.CHWN_ANY_N)
+    try:
+        lap.CHWN_DISPATCH = True
+        lap.CHWN_ANY_N = True
+        n, h, c, cw, k = 4, 9, 16, 2, 3
+        assert lap.chwn_plan((n, h, h, c), (n, h, h, 1, k * k, cw), 4,
+                             (1, 1)) is not None
+        ks = jax.random.split(jax.random.PRNGKey(3), 4)
+        x = jax.random.normal(ks[0], (n, h, h, c), jnp.float32)
+        w = jax.random.normal(ks[1], (n, h, h, 1, k * k, cw), jnp.float32)
+        s = jax.random.normal(ks[2], (n, 1, k * k, cw), jnp.float32)
+        b = jax.random.normal(ks[3], (n, 1, k * k, cw), jnp.float32)
+        got = lap.agg_core_pallas_affine(x, w, s, b, (k, k), (1, 1), (1, 1))
+        wn = w * s[:, None, None] + b[:, None, None]
+        ref = local_aggregate(x, wn, kernel_size=k, padding=1, impl="xla")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)
+    finally:
+        lap.CHWN_DISPATCH, lap.CHWN_ANY_N = old

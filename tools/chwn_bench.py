@@ -1,0 +1,285 @@
+"""CHWN (batch-on-lanes) aggregation prototype — the untried formulation.
+
+Every shipped aggregation kernel keeps C on lanes (NHWC blocks), so the
+cw->c group replication (fwd/dx) and the c->cw group reduction (dw) are
+lane-space shuffles the VPU serializes — measured at 10-16% of byte bound
+while sitting AT the lane-op bound (STATUS.md r4 roofline table).  This
+prototype moves the BATCH to lanes instead: layout [G, Cw, H, W, N] with
+N=128 exactly filling the lane dim, W on sublanes, and (G, Cw, H) as major
+dims.  Consequences:
+  - tap shifts: H major (free) + W sublane static slices (cheap);
+  - cw->c replication: indexing the w block at major dim cw — NO shuffle;
+  - c->cw reduction (dw): an SSA add chain over the G major dim — NO
+    lane reduction;
+  - every multiply is a full 128-lane elementwise op.
+The price is a pair of NHWC<->CHWN transposes at the op boundary (XLA
+tiled transposes, ~2x bytes); this bench times the prototype INCLUDING
+those transposes against the shipped whole-image kernels on the cotnet50
+stage geometries (reference kernels: cupy_layers/aggregation_zeropad.py).
+
+Usage: python tools/chwn_bench.py [fwd|bwd|all] [stage ...]
+"""
+import functools
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cotnet_tpu.ops import local_aggregate
+
+ITERS = 20
+K, D = 3, 1
+_INTERP = jax.default_backend() != "tpu"
+_call = functools.partial(pl.pallas_call, interpret=_INTERP)
+
+
+# ---------------------------------------------------------------- kernels
+def _fwd_chwn_kernel(xp_ref, w_ref, out_ref, *, kh, kw, dh, dw, g, ho, wo):
+    """out[g, 0, ho, wo, n] = sum_k w[0, k, ho, wo, n]
+                                    * xp[g, 0, ho+kh*dh, wo+kw*dw, n]
+
+    Blocks: xp [G, 1(cw), Hp, Wp, N], w [1(cw), K2, Ho, Wo, N],
+    out [G, 1(cw), Ho, Wo, N]; grid over cw.  All slices are major-dim
+    (g, k, h) or static sublane (w) offsets — no lane ops anywhere."""
+    out_dtype = out_ref.dtype
+    for gi in range(g):
+        acc = None
+        for ikh in range(kh):
+            for ikw in range(kw):
+                k = ikh * kw + ikw
+                xs = xp_ref[gi, 0, ikh * dh:ikh * dh + ho,
+                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
+                wk = w_ref[0, k].astype(jnp.float32)
+                tap = xs * wk
+                acc = tap if acc is None else acc + tap
+        out_ref[gi, 0] = acc.astype(out_dtype)
+
+
+def _bwd_chwn_kernel(xp_ref, wp_ref, dyp_ref, dx_ref, dw_ref, *, kh, kw,
+                     dh, dw, g, ho, wo, hi, wi, lh, lw):
+    """Fused dx+dw in CHWN layout, gather-form dx (static shifted slices of
+    the pre-padded dy/w), SSA-chain dw group reduction over the g major dim.
+
+    Blocks: xp [Gs, 1, Hp, Wp, N], wp [1, K2, Ho+2lh, Wo+2lw, N],
+    dyp [Gs, 1, Ho+2lh, Wo+2lw, N]; dx [Gs, 1, Hi, Wi, N],
+    dw [1, 1, K2, Ho, Wo, N] (per-G-half partial, summed outside); grid
+    (cw, G/Gs) — the G split keeps the block working set under the 16 MB
+    scoped-VMEM limit — the block model excludes the ~6 MB of f32
+    SSA-chain temporaries Mosaic keeps live at 28x28, hence the 9 MB
+    block budget (full-G booked 16.29 MB stack at 28x28x128)."""
+    out_dtype = dx_ref.dtype
+    for gi in range(g):
+        # dx[hi,wi] = sum_k wp[k, hi+lh-kh*dh, wi+lw-kw*dw] * dyp[same]
+        acc = None
+        for ikh in range(kh):
+            for ikw in range(kw):
+                k = ikh * kw + ikw
+                sh = (kh - 1) * dh - ikh * dh
+                sw = (kw - 1) * dw - ikw * dw
+                dys = dyp_ref[gi, 0, sh:sh + hi,
+                              sw:sw + wi, :].astype(jnp.float32)
+                wk = wp_ref[0, k, sh:sh + hi,
+                            sw:sw + wi, :].astype(jnp.float32)
+                tap = dys * wk
+                acc = tap if acc is None else acc + tap
+        dx_ref[gi, 0] = acc.astype(out_dtype)
+    # dw[k, ho, wo] = sum_g xp[g, ho+kh*dh, wo+kw*dw] * dy[g, ho, wo]
+    dw_dtype = dw_ref.dtype
+    for ikh in range(kh):
+        for ikw in range(kw):
+            k = ikh * kw + ikw
+            red = None
+            for gi in range(g):
+                xs = xp_ref[gi, 0, ikh * dh:ikh * dh + ho,
+                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
+                dys = dyp_ref[gi, 0, lh:lh + ho,
+                              lw:lw + wo, :].astype(jnp.float32)
+                t = xs * dys
+                red = t if red is None else red + t
+            dw_ref[0, 0, k] = red.astype(dw_dtype)
+
+
+# ------------------------------------------------------------- dispatchers
+def fwd_chwn(x, w, pad):
+    """x [N,H,W,C] NHWC, w [N,Ho,Wo,1,K2,Cw] -> out [N,Ho,Wo,C].
+    Transposes to/from [G|Cw, ., H, W, N] inside."""
+    n, hi, wi, c = x.shape
+    _, ho, wo, heads, k2, cw = w.shape
+    assert heads == 1
+    g = c // cw
+    hp, wp = hi + 2 * pad, wi + 2 * pad
+    xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)])
+    # [N,Hp,Wp,C] -> [C,Hp,Wp,N] -> [G,Cw,Hp,Wp,N]
+    xt = jnp.transpose(xp, (3, 1, 2, 0)).reshape(g, cw, hp, wp, n)
+    # [N,Ho,Wo,1,K2,Cw] -> [Cw,K2,Ho,Wo,N]
+    wt = jnp.transpose(w[:, :, :, 0], (4, 3, 1, 2, 0))
+    kern = functools.partial(_fwd_chwn_kernel, kh=K, kw=K, dh=D, dw=D,
+                             g=g, ho=ho, wo=wo)
+    out_t = _call(
+        kern,
+        grid=(cw,),
+        in_specs=[
+            pl.BlockSpec((g, 1, hp, wp, n), lambda i: (0, i, 0, 0, 0)),
+            pl.BlockSpec((1, k2, ho, wo, n), lambda i: (i, 0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((g, 1, ho, wo, n), lambda i: (0, i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, cw, ho, wo, n), x.dtype),
+    )(xt, wt)
+    # [G,Cw,Ho,Wo,N] -> [C,Ho,Wo,N] -> [N,Ho,Wo,C]
+    return jnp.transpose(out_t.reshape(c, ho, wo, n), (3, 1, 2, 0))
+
+
+def bwd_chwn(x, w, dy, pad):
+    """Fused dx+dw in CHWN layout. Returns (dx [N,H,W,C], dw like w)."""
+    n, hi, wi, c = x.shape
+    _, ho, wo, heads, k2, cw = w.shape
+    g = c // cw
+    hp, wp = hi + 2 * pad, wi + 2 * pad
+    lh = (K - 1) * D - pad
+    lw = lh
+    he, we = ho + 2 * lh, wo + 2 * lw
+    xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)])
+    xt = jnp.transpose(xp, (3, 1, 2, 0)).reshape(g, cw, hp, wp, n)
+    dyp = jnp.pad(dy, [(0, 0), (lh, lh), (lw, lw), (0, 0)])
+    dyt = jnp.transpose(dyp, (3, 1, 2, 0)).reshape(g, cw, he, we, n)
+    wpad = jnp.pad(w[:, :, :, 0], [(0, 0), (lh, lh), (lw, lw), (0, 0),
+                                   (0, 0)])
+    wt = jnp.transpose(wpad, (4, 3, 1, 2, 0))   # [Cw,K2,He,We,N]
+    # split G across the grid when the full-G working set exceeds VMEM
+    gs = g
+    while gs > 1 and _bwd_blocks_bytes(gs, k2, hp, wp, he, we, hi, wi, ho,
+                                       wo, n, x.dtype, w.dtype) > 9 * 2**20:
+        gs //= 2
+    nsplit = g // gs
+    kern = functools.partial(_bwd_chwn_kernel, kh=K, kw=K, dh=D, dw=D,
+                             g=gs, ho=ho, wo=wo, hi=hi, wi=wi, lh=lh, lw=lw)
+    dx_t, dw_t = _call(
+        kern,
+        grid=(cw, nsplit),
+        in_specs=[
+            pl.BlockSpec((gs, 1, hp, wp, n), lambda i, s: (s, i, 0, 0, 0)),
+            pl.BlockSpec((1, k2, he, we, n), lambda i, s: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((gs, 1, he, we, n), lambda i, s: (s, i, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((gs, 1, hi, wi, n), lambda i, s: (s, i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, k2, ho, wo, n),
+                         lambda i, s: (s, i, 0, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, cw, hi, wi, n), x.dtype),
+            jax.ShapeDtypeStruct((nsplit, cw, k2, ho, wo, n), w.dtype),
+        ],
+    )(xt, wt, dyt)
+    dx = jnp.transpose(dx_t.reshape(c, hi, wi, n), (3, 1, 2, 0))
+    dw_s = dw_t[0] if nsplit == 1 else jnp.sum(
+        dw_t.astype(jnp.float32), axis=0).astype(w.dtype)
+    dw = jnp.transpose(dw_s, (4, 2, 3, 1, 0))[:, :, :, None]
+    return dx, dw
+
+
+def _bwd_blocks_bytes(gs, k2, hp, wp, he, we, hi, wi, ho, wo, n, xdt, wdt):
+    """Crude block working-set model (sublane pad to 8) for the G split."""
+    def tb(shape, it):
+        pad = list(shape)
+        pad[-2] = (pad[-2] + 7) // 8 * 8
+        sz = it
+        for d in pad:
+            sz *= d
+        return sz
+    xi = jnp.dtype(xdt).itemsize
+    wi_ = jnp.dtype(wdt).itemsize
+    return (tb((gs, 1, hp, wp, n), xi) + tb((1, k2, he, we, n), wi_)
+            + tb((gs, 1, he, we, n), xi) + tb((gs, 1, hi, wi, n), xi)
+            + tb((1, 1, k2, ho, wo, n), wi_))
+
+
+# ------------------------------------------------------------------ timing
+def chain_time(fn, seed, *args):
+    @jax.jit
+    def chain(x0, *a):
+        def body(_, xx):
+            out = fn(xx, *a)
+            flat = jax.tree_util.tree_leaves(out)
+            s = sum(jnp.sum(o.astype(jnp.float32)) for o in flat)
+            bump = jnp.where(jnp.isnan(s), 1.0, 0.0).astype(xx.dtype)
+            return xx + bump
+        return jax.lax.fori_loop(0, ITERS, body, x0)
+
+    out = chain(seed, *args)
+    np.asarray(out.ravel()[0])
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = chain(seed, *args)
+        np.asarray(out.ravel()[0])
+        ts.append((time.perf_counter() - t0) / ITERS)
+    ts.sort()
+    return ts[1]
+
+
+def run_stage(n, h, c, dtype=jnp.bfloat16, do_fwd=True, do_bwd=True):
+    cw = c // 8
+    pad = K // 2
+    kx, kw_, kd = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(kx, (n, h, h, c), dtype)
+    w = jax.random.normal(kw_, (n, h, h, 1, K * K, cw), dtype)
+    dy = jax.random.normal(kd, (n, h, h, c), dtype)
+
+    agg = functools.partial(local_aggregate, kernel_size=K, stride=1,
+                            padding=pad, dilation=D)
+
+    # parity vs the shipped pallas path (itself oracle-gated in tests)
+    ref = jax.jit(functools.partial(agg, impl="pallas"))(x, w)
+    got = jax.jit(functools.partial(fwd_chwn, pad=pad))(x, w)
+    err = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
+                                - got.astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) or 1.0
+    print(f"[{h}x{h}x{c}] fwd parity maxerr {err:.3e} (rel {err/scale:.1e})",
+          flush=True)
+
+    if do_fwd:
+        t_ship = chain_time(lambda xx: agg(xx, w, impl="pallas"), x)
+        t_chwn = chain_time(lambda xx: fwd_chwn(xx, w, pad), x)
+        print(f"[{h}x{h}x{c}] FWD shipped {t_ship*1e3:7.3f} ms | "
+              f"chwn {t_chwn*1e3:7.3f} ms | ratio "
+              f"{t_ship/t_chwn:5.2f}x", flush=True)
+
+    if do_bwd:
+        # shipped: vjp of the pallas op (fused dx+dw dispatch, default-ON)
+        def ship_pair(dy_):
+            f = lambda xx, ww: agg(xx, ww, impl="pallas")
+            _, vjp = jax.vjp(f, x, w)
+            return vjp(dy_)
+
+        dxr, dwr = jax.jit(ship_pair)(dy)
+        dxg, dwg = jax.jit(functools.partial(bwd_chwn, pad=pad))(x, w, dy)
+        e_dx = float(jnp.max(jnp.abs(dxr.astype(jnp.float32)
+                                     - dxg.astype(jnp.float32))))
+        e_dw = float(jnp.max(jnp.abs(dwr.astype(jnp.float32)
+                                     - dwg.astype(jnp.float32))))
+        print(f"[{h}x{h}x{c}] bwd parity dx {e_dx:.3e} dw {e_dw:.3e}",
+              flush=True)
+        t_ship = chain_time(ship_pair, dy)
+        t_chwn = chain_time(lambda dd: bwd_chwn(x, w, dd, pad), dy)
+        print(f"[{h}x{h}x{c}] BWD shipped {t_ship*1e3:7.3f} ms | "
+              f"chwn {t_chwn*1e3:7.3f} ms | ratio "
+              f"{t_ship/t_chwn:5.2f}x", flush=True)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    stages = [s for s in sys.argv[2:]] or ["28", "14", "7"]
+    geo = {"28": (128, 28, 128), "14": (128, 14, 256), "7": (128, 7, 512),
+           "tiny": (8, 6, 16)}
+    print(f"devices: {jax.devices()}", flush=True)
+    for s in stages:
+        n, h, c = geo[s]
+        run_stage(n, h, c, do_fwd=mode in ("fwd", "all"),
+                  do_bwd=mode in ("bwd", "all"))
