@@ -285,8 +285,10 @@ CHWN_ANY_N = _os.environ.get("COTNET_CHWN_ANY_N", "0") == "1"
 # 28x28x128 fwd 2.017->1.695 bwd 3.821->2.077, 14x14x256 fwd 1.860->1.487
 # bwd 1.861->1.693, but 7x7x512 LOSES (0.93x/0.92x: W=7 pads to 16
 # sublanes and the boundary transposes outweigh the lane win), so the
-# late-stage maps stay on the NHWC kernels.
-CHWN_MIN_MAP = int(_os.environ.get("COTNET_CHWN_MIN_MAP", "100"))
+# late-stage maps stay on the NHWC kernels; 144 also keeps the flagship's
+# untested 10x10 @320 stage-4 map (same sublane-padding economics as 7x7)
+# on the measured incumbents.
+CHWN_MIN_MAP = int(_os.environ.get("COTNET_CHWN_MIN_MAP", "144"))
 _WLOOP_GROUP = 2
 _WLOOP_BUDGET_BYTES = 16 * 1024 * 1024
 
