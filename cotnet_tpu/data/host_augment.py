@@ -24,6 +24,7 @@ solarize_add floor(lvl*110), cutout floor(lvl*40) px, fill 128.
 from __future__ import annotations
 
 import random
+import threading
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -33,6 +34,26 @@ from cotnet_tpu.data.rand_augment import (CHOICE_WEIGHTS_0, CUTOUT_CONST,
                                           TRANSLATE_CONST)
 
 _FILL = (128, 128, 128)
+
+# Per-sample deterministic RNG (thread-local so the loader's thread-pool
+# path is reproducible too): the device path derives every augmentation
+# draw from PRNGKey(seed*1000+epoch); the host path mirrors that by having
+# the loader install a Random seeded per sample before the transform runs.
+# Without an installed rng the module-level `random` is the fallback.
+_TLS = threading.local()
+
+
+def seed_sample_rng(seed: int) -> None:
+    """Install a per-sample RNG for the current thread/process.  Called by
+    the loader (both the worker-process and thread-pool fetch paths) with a
+    seed derived from (loader seed, epoch, sample position)."""
+    _TLS.rng = random.Random(seed)
+
+
+def _rng():
+    """The active sample RNG; the `random` module (same call surface) when
+    none is installed."""
+    return getattr(_TLS, "rng", None) or random
 
 
 def _pil():
@@ -77,7 +98,8 @@ def _cutout(im, pixels: float):
         return im
     arr = np.asarray(im).copy()
     h, w = arr.shape[:2]
-    cy, cx = random.randint(0, h - 1), random.randint(0, w - 1)
+    r = _rng()
+    cy, cx = r.randint(0, h - 1), r.randint(0, w - 1)
     p = int(pixels)
     y0, y1 = max(0, cy - p), min(h, cy + p)
     x0, x1 = max(0, cx - p), min(w, cx + p)
@@ -164,21 +186,23 @@ class HostRandAugment:
         self.min_prob, self.max_prob = min_prob, max_prob
         self.weights = CHOICE_WEIGHTS_0 if weight_idx == 0 else None
         self.max_magnitude = max_magnitude
+        # must stay twinned with the device RandAugment's sampling space
+        self.num_ops = N_BASE_OPS
 
     def __call__(self, im):
+        r = _rng()
         for _ in range(self.num_layers):
             if self.weights is not None:
-                name = random.choices(OP_NAMES[:N_BASE_OPS],
-                                      weights=self.weights)[0]
+                name = r.choices(OP_NAMES[:N_BASE_OPS],
+                                 weights=self.weights)[0]
             else:
-                name = OP_NAMES[random.randrange(N_BASE_OPS)]
+                name = OP_NAMES[r.randrange(N_BASE_OPS)]
             mag = self.magnitude
             if self.magnitude_std > 0:
-                mag += random.gauss(0.0, self.magnitude_std)
+                mag += r.gauss(0.0, self.magnitude_std)
             mag = min(max(mag, 0.0), self.max_magnitude)
-            sign = 1.0 if random.random() < 0.5 else -1.0
-            if random.random() <= random.uniform(self.min_prob,
-                                                 self.max_prob):
+            sign = 1.0 if r.random() < 0.5 else -1.0
+            if r.random() <= r.uniform(self.min_prob, self.max_prob):
                 im = apply_op(name, im, mag, sign)
         return im
 
@@ -191,10 +215,11 @@ class HostAutoAugment:
         self.policy = [list(sp) for sp in policy]
 
     def __call__(self, im):
-        for name, prob, mag in random.choice(self.policy):
-            if random.random() > prob:
+        r = _rng()
+        for name, prob, mag in r.choice(self.policy):
+            if r.random() > prob:
                 continue
-            sign = 1.0 if random.random() < 0.5 else -1.0
+            sign = 1.0 if r.random() < 0.5 else -1.0
             im = apply_op(name, im, float(mag), sign)
         return im
 
@@ -214,16 +239,20 @@ class HostAugMix:
 
     def __call__(self, im):
         from PIL import Image
-        ws = np.float32(np.random.dirichlet([self.alpha] * self.width))
-        m = np.float32(np.random.beta(self.alpha, self.alpha))
+        r = _rng()
+        # Dirichlet/Beta ride the same per-sample stream (not module-level
+        # np.random, which the loader's per-chunk reseed doesn't cover)
+        npr = np.random.RandomState(r.getrandbits(31))
+        ws = np.float32(npr.dirichlet([self.alpha] * self.width))
+        m = np.float32(npr.beta(self.alpha, self.alpha))
         mix = np.zeros(np.asarray(im).shape, np.float32)
         for i in range(self.width):
             depth = (self.depth if self.depth > 0
-                     else random.randint(1, 3))
+                     else r.randint(1, 3))
             cur = im
             for _ in range(depth):
-                name = random.choice(self.ops)
-                sign = 1.0 if random.random() < 0.5 else -1.0
+                name = r.choice(self.ops)
+                sign = 1.0 if r.random() < 0.5 else -1.0
                 cur = apply_op(name, cur, self.magnitude, sign)
             mix += ws[i] * np.asarray(cur, np.float32)
         out = (1 - m) * np.asarray(im, np.float32) + m * mix

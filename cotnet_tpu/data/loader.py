@@ -39,7 +39,7 @@ from cotnet_tpu.data.transforms import create_eval_transform, create_train_trans
 _WORKER_DS = None
 
 
-def _proc_worker_init(ds_bytes: bytes, base_seed: int):
+def _proc_worker_init(ds_bytes: bytes, base_seed: int, wid_counter=None):
     """Runs once in each worker process.  The parent scrubbed accelerator
     env vars around the spawn, so any transitive jax import here is
     CPU-only and never touches the TPU tunnel."""
@@ -47,7 +47,14 @@ def _proc_worker_init(ds_bytes: bytes, base_seed: int):
     import random as _random
 
     _WORKER_DS = pickle.loads(ds_bytes)
-    wid = os.getpid()
+    # deterministic worker index (a shared counter, NOT the pid — pids vary
+    # across runs, so pid-derived seeds are irreproducible by construction)
+    if wid_counter is not None:
+        with wid_counter.get_lock():
+            wid = wid_counter.value
+            wid_counter.value += 1
+    else:
+        wid = 0
     _random.seed(base_seed * 100003 + wid)
     np.random.seed((base_seed * 100003 + wid) % (2 ** 31))
     # per-worker reseed for transforms carrying an explicit RandomState
@@ -57,14 +64,33 @@ def _proc_worker_init(ds_bytes: bytes, base_seed: int):
         t.rng = np.random.RandomState((base_seed + wid) % (2 ** 31))
 
 
+def _sample_seed(chunk_seed: int, k: int) -> int:
+    """Per-sample seed from a chunk seed + position (collision-free for
+    batch sizes << 1000003)."""
+    return (chunk_seed * 1000003 + k) % (2 ** 31)
+
+
 def _proc_fetch(args):
-    """Decode + transform a chunk of dataset indices in a worker process."""
+    """Decode + transform a chunk of dataset indices in a worker process.
+
+    Every random draw — geometric transform (global `random`) and policy
+    augment (host_augment's per-sample rng) — is reseeded per SAMPLE from
+    the chunk seed, so a run reproduces given the same loader seed/epoch
+    regardless of how chunks land on workers."""
     idxs, seed = args
     import random as _random
 
-    _random.seed(seed)
+    from cotnet_tpu.data.host_augment import seed_sample_rng
+
+    transform = getattr(_WORKER_DS, "transform", None)
+    has_rng = getattr(transform, "rng", None) is not None
     imgs, targets = [], []
-    for i in idxs:
+    for k, i in enumerate(idxs):
+        s = _sample_seed(seed, k)
+        _random.seed(s)
+        seed_sample_rng(s)
+        if has_rng:  # e.g. TfTrainPreprocess — pool scheduling must not
+            transform.rng = np.random.RandomState(s)  # matter either
         im, t = _WORKER_DS[i]
         imgs.append(im)
         targets.append(t)
@@ -94,10 +120,11 @@ def _spawn_worker_pool(dataset, workers: int, seed: int):
         saved.setdefault(k, os.environ.get(k))
         os.environ[k] = v
     try:
+        ctx = multiprocessing.get_context("spawn")
         pool = ProcessPoolExecutor(
-            workers, mp_context=multiprocessing.get_context("spawn"),
+            workers, mp_context=ctx,
             initializer=_proc_worker_init,
-            initargs=(pickle.dumps(dataset), seed))
+            initargs=(pickle.dumps(dataset), seed, ctx.Value("i", 0)))
         # force every worker to spawn inside the scrubbed-env window
         # (executors spawn lazily; the concurrent sleeps need all of them)
         list(pool.map(_proc_warmup, [0.2] * workers))
@@ -198,14 +225,30 @@ class _Prefetcher:
                 from cotnet_tpu.data import native
 
                 use_native = native.available()
+
+                def fetch_one(args):
+                    # per-sample policy-augment seeding (thread-local): the
+                    # default aug_backend="host" draws must derive from the
+                    # loader seed like the device path's PRNGKey did.  The
+                    # geometric transforms still ride the thread-shared
+                    # global `random` here; the worker-procs path seeds
+                    # those per sample too (_proc_fetch).
+                    bseed, k, i = args
+                    from cotnet_tpu.data.host_augment import seed_sample_rng
+                    seed_sample_rng(_sample_seed(bseed, k))
+                    return self.dataset[i]
+
                 with ThreadPoolExecutor(self.workers) as pool:
                     for bidx, (chunk, valid) in enumerate(self._batches()):
                         if self.proc_pool is not None:
                             imgs, labels = fetch_procs(self.proc_pool, chunk,
                                                        bidx)
                         else:
+                            bseed = self.seed * 1000003 + bidx * 997
                             samples = list(pool.map(
-                                self.dataset.__getitem__, chunk))
+                                fetch_one,
+                                [(bseed, k, i)
+                                 for k, i in enumerate(chunk)]))
                             arrs = [s[0] for s in samples]
                             if (use_native and arrs[0].ndim == 3
                                     and arrs[0].dtype == np.uint8

@@ -292,6 +292,9 @@ class RandAugment:
         self.weights = (jnp.asarray(CHOICE_WEIGHTS_0)
                         if weight_idx == 0 else None)
         self.max_magnitude = max_magnitude
+        # op sampling space — must stay twinned with HostRandAugment.num_ops
+        # (tests/test_augment.py asserts equality)
+        self.num_ops = N_BASE_OPS
 
     def _augment_one(self, rng, img):
         img = img.astype(jnp.float32)
@@ -299,10 +302,17 @@ class RandAugment:
         def layer(i, carry):
             img, key = carry
             key, k_op, k_mag, k_sign, k_p1, k_p2, k_cut = jax.random.split(key, 7)
+            # sample over the 16 base ops only (reference rand_augment.py
+            # transform list) — the trailing OP_NAMES entries are the
+            # AutoAugment-policy magnitude variants, never RandAugment
+            # choices; this also keeps the host twin's sampling space
+            # identical (host_augment.HostRandAugment uses N_BASE_OPS) and
+            # makes CHOICE_WEIGHTS_0 (length 16) shape-consistent.
             if self.weights is not None:
-                op_idx = jax.random.choice(k_op, len(OP_NAMES), p=self.weights)
+                op_idx = jax.random.choice(
+                    k_op, N_BASE_OPS, p=jnp.asarray(self.weights))
             else:
-                op_idx = jax.random.randint(k_op, (), 0, len(OP_NAMES))
+                op_idx = jax.random.randint(k_op, (), 0, N_BASE_OPS)
             mag = self.magnitude
             if self.magnitude_std > 0:
                 mag = mag + jax.random.normal(k_mag) * self.magnitude_std

@@ -234,3 +234,61 @@ def test_host_augment_matches_device_op_semantics():
         ref = np.asarray(host, np.float32)
         frac = (np.abs(ours - ref) <= tol).mean()
         assert frac >= 0.97, (name, frac)
+
+
+def test_host_device_sampling_space_twinned():
+    """ADVICE r4: host and device RandAugment must sample from the SAME op
+    space (the 16 base ops, reference rand_augment.py:227-244) — the device
+    path used to sample over all 25 OP_NAMES (including AutoAugment-policy
+    magnitude variants) and crashed on weighted ('w0') configs."""
+    from cotnet_tpu.data.host_augment import HostRandAugment
+    from cotnet_tpu.data.rand_augment import (CHOICE_WEIGHTS_0, N_BASE_OPS,
+                                              RandAugment,
+                                              rand_augment_transform)
+
+    host = HostRandAugment()
+    dev = RandAugment()
+    assert host.num_ops == dev.num_ops == N_BASE_OPS
+    assert len(CHOICE_WEIGHTS_0) == N_BASE_OPS
+
+    # the weighted config must build AND execute on the device path
+    # (pre-fix: jax.random.choice ValueError, p shape (16,) vs a=25)
+    aug = rand_augment_transform("rand-m9-n2-w0")
+    batch = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (2, 24, 24, 3)), jnp.float32)
+    out = jax.jit(aug)(jax.random.PRNGKey(0), batch)
+    assert out.shape == batch.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_host_augment_per_sample_rng():
+    """Host augments draw from the loader-installed per-sample RNG
+    (ADVICE r4: the default aug_backend='host' must be seed-reproducible,
+    like the device path's PRNGKey derivation was)."""
+    from cotnet_tpu.data.host_augment import (create_host_augment,
+                                              seed_sample_rng)
+
+    arr = np.random.RandomState(0).randint(0, 256, (40, 40, 3), np.uint8)
+    im = Image.fromarray(arr)
+    for cfg in ("rand-m15-mstd0.5-n2", "augmix-m5-w4-d2", "originalr"):
+        a = create_host_augment(cfg)
+        seed_sample_rng(7)
+        o1 = np.asarray(a(im))
+        seed_sample_rng(7)
+        o2 = np.asarray(a(im))
+        assert np.array_equal(o1, o2), cfg
+        # the installed rng is the only draw source: global random state
+        # must not influence the result
+        import random
+        random.seed(0)
+        np.random.seed(0)
+        seed_sample_rng(7)
+        o3 = np.asarray(a(im))
+        assert np.array_equal(o1, o3), cfg
+    # different sample seeds decorrelate
+    a = create_host_augment("rand-m15-mstd0.5-n2")
+    outs = []
+    for s in range(8):
+        seed_sample_rng(s)
+        outs.append(np.asarray(a(im)))
+    assert sum(not np.array_equal(o, outs[0]) for o in outs[1:]) >= 4

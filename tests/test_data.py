@@ -271,3 +271,26 @@ def test_loader_host_augment_worker_procs(image_tree):
         assert not np.array_equal(np.stack(e1), np.stack(e2))
     finally:
         loader.close()
+
+
+def test_loader_host_augment_reproducible_across_pools(image_tree):
+    """ADVICE r4: worker seeds must derive from a deterministic worker
+    index, not the pid, and HostAugMix's Dirichlet/Beta draws must ride the
+    per-sample stream — so a RUN reproduces (fresh process pool = fresh
+    pids) given the same loader seed.  augmix is the config that drew from
+    module-level np.random."""
+    ds = ImageFolderDataset(image_tree)
+
+    def collect():
+        loader = Loader(ds, batch_size=8, train=True, image_size=32,
+                        workers=2, seed=11, worker_procs=True,
+                        auto_augment="augmix-m5-w3", reprob=0.0)
+        try:
+            return [np.asarray(b["image"]) for b in loader]
+        finally:
+            loader.close()  # pool dies; the next collect() spawns a new one
+
+    e1 = collect()
+    e2 = collect()
+    assert e1 and e1[0].shape == (8, 32, 32, 3)
+    np.testing.assert_array_equal(np.stack(e1), np.stack(e2))
