@@ -664,3 +664,49 @@ def test_chwn_affine_fwd_parity():
                                    atol=2e-4)
     finally:
         lap.CHWN_DISPATCH, lap.CHWN_ANY_N = old
+
+
+def test_chwn_bf16_production_shape():
+    """VERDICT r4 #7: pin CHWN bf16 at a production shape (stage-2 28x28,
+    C=128, share_planes 8, N=128 — the shape whose dw divergence vs the
+    NHWC MXU dw was only prose).  The CHWN chain is bf16 I/O with pure-f32
+    accumulation, so its error vs the f32 XLA formulation must stay at
+    bf16-rounding scale; measured (interpret mode, this exact setup):
+    fwd 2.5e-3 / dx 4.5e-3 / dw 4.6e-3 max-rel vs max|ref| — bounds pinned
+    at 2x so any CHWN bf16 drift (e.g. a truncating accumulation sneaking
+    in, like the NHWC dw's 1.25e-1) fails here."""
+    import cotnet_tpu.ops.local_agg_pallas as lap
+
+    old = lap.CHWN_DISPATCH
+    try:
+        lap.CHWN_DISPATCH = True
+        n, h, c, cw, k = 128, 28, 128, 16, 3
+        xs, ws = (n, h, h, c), (n, h, h, 1, k * k, cw)
+        assert lap.chwn_plan(xs, ws, 2, (1, 1)) is not None
+
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        x = jax.random.normal(ks[0], xs, jnp.float32).astype(jnp.bfloat16)
+        w = jax.random.normal(ks[1], ws, jnp.float32).astype(jnp.bfloat16)
+        dy = jax.random.normal(ks[2], xs, jnp.float32)
+
+        def run(impl, dtype):
+            xx, wz = x.astype(dtype), w.astype(dtype)
+
+            def f(x_, w_):
+                y = local_aggregate(x_, w_, kernel_size=k, padding=1,
+                                    impl=impl)
+                return jnp.vdot(y.astype(jnp.float32), dy)
+
+            g = jax.grad(f, (0, 1))(xx, wz)
+            y = local_aggregate(xx, wz, kernel_size=k, padding=1, impl=impl)
+            return (y.astype(jnp.float32), g[0].astype(jnp.float32),
+                    g[1].astype(jnp.float32))
+
+        got = run("pallas", jnp.bfloat16)
+        ref = run("xla", jnp.float32)
+        for name, a, b, bound in zip(
+                ("fwd", "dx", "dw"), got, ref, (6e-3, 1.2e-2, 1.2e-2)):
+            rel = float(jnp.abs(a - b).max() / jnp.abs(b).max())
+            assert rel <= bound, (name, rel, bound)
+    finally:
+        lap.CHWN_DISPATCH = old
