@@ -51,12 +51,18 @@ def find_images_and_targets(folder: str, types=IMG_EXTENSIONS,
     return images_and_targets, class_to_idx
 
 
-def _open_rgb(data_or_path):
+def _open_rgb(data_or_path, draft_size=None):
+    """Decode to RGB; ``draft_size=(w, h)`` enables decode-at-scale for
+    JPEGs (PIL ``Image.draft``: DCT-domain 1/2-1/8 downscale chosen so both
+    dims stay >= the target — the decoder then does 2-4x less IDCT work).
+    A no-op for formats without draft support (PNG etc.)."""
     from PIL import Image
 
     img = (Image.open(io.BytesIO(data_or_path))
            if isinstance(data_or_path, (bytes, bytearray))
            else Image.open(data_or_path))
+    if draft_size is not None:
+        img.draft("RGB", draft_size)
     return img.convert("RGB")
 
 
@@ -73,13 +79,14 @@ class ImageFolderDataset:
         if not self.samples:
             raise RuntimeError(f"no images found under {root}")
         self.transform = transform
+        self.draft_size = None  # set by the loader (decode-at-scale)
 
     def __len__(self):
         return len(self.samples)
 
     def __getitem__(self, idx):
         path, target = self.samples[idx]
-        img = _open_rgb(path)
+        img = _open_rgb(path, self.draft_size)
         if self.transform is not None:
             img = self.transform(img)
         return img, target
@@ -112,6 +119,7 @@ class TarDataset:
         self.samples = sorted(pairs, key=lambda p: natural_key(p[0].name))
         self.class_to_idx = class_to_idx
         self.transform = transform
+        self.draft_size = None  # set by the loader (decode-at-scale)
         # lazy per-worker AND per-thread handles: TarFile shares one seek
         # position, so the prefetcher's thread pool needs its own handle
         # (reference keeps one lazy handle per dataloader worker process,
@@ -127,7 +135,7 @@ class TarDataset:
             tf = self._local.tf = tarfile.open(self.tar_path)
         member, target = self.samples[idx]
         data = tf.extractfile(member).read()
-        img = _open_rgb(data)
+        img = _open_rgb(data, self.draft_size)
         if self.transform is not None:
             img = self.transform(img)
         return img, target

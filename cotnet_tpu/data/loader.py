@@ -297,7 +297,8 @@ class Loader:
                  reprob: float = 0.0, remode: str = "pixel", recount: int = 1,
                  num_aug_splits: int = 0, dtype=jnp.float32, seed: int = 0,
                  mesh=None, tf_preprocessing: bool = False,
-                 worker_procs: bool = False, aug_backend: str = "host"):
+                 worker_procs: bool = False, aug_backend: str = "host",
+                 draft_decode: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.train = train
@@ -307,6 +308,7 @@ class Loader:
         self.mesh = mesh
         self.worker_procs = worker_procs
         self._pool = None  # lazy; persists across epochs
+        dataset.draft_size = None  # (re)set below; the dataset is shared
         if train:
             # Policy augments (RandAugment/AutoAugment/AugMix) default to
             # the HOST workers (PIL, reference transforms_factory.py:86-98
@@ -325,7 +327,8 @@ class Loader:
             if tf_preprocessing:
                 # TF-graph-parity host transform (reference loader.py:155,
                 # transforms_factory.py:196-198); policy augments still
-                # apply on device below
+                # apply on device below.  No draft decode: the TF goldens
+                # pin the full-resolution decode.
                 from cotnet_tpu.data.tf_preprocessing import TfTrainPreprocess
                 dataset.transform = TfTrainPreprocess(
                     image_size, hflip=hflip,
@@ -336,6 +339,11 @@ class Loader:
                     image_size, scale, ratio, hflip, vflip, interpolation,
                     color_jitter=None if auto_augment else color_jitter,
                     policy_augment=host_aug)
+                if draft_decode:
+                    # decode-at-scale with a 2x quality margin: the RRC
+                    # crop resamples to image_size anyway; only images
+                    # larger than 2x the target take the DCT downscale
+                    dataset.draft_size = (2 * image_size, 2 * image_size)
             from cotnet_tpu.data.auto_augment import create_batch_augment
             ra = (None if host_aug is not None
                   else create_batch_augment(auto_augment))
@@ -354,6 +362,15 @@ class Loader:
                 dataset.transform = create_eval_transform(
                     image_size, crop_pct,
                     interpolation if interpolation != "random" else "bicubic")
+                if draft_decode:
+                    # eval decodes + resizes at FULL resolution otherwise —
+                    # measured slower per image than the whole train path
+                    # (LOADER_r04: 245 vs 293 img/s/core).  Draft to the
+                    # resize target: the shorter side lands >= scale_size,
+                    # the bicubic resize then only downscales.
+                    import math as _math
+                    ss = int(_math.floor(image_size / crop_pct))
+                    dataset.draft_size = (ss, ss)
             self.device_augment = make_device_augment(mean, std, None, None,
                                                       dtype)
 

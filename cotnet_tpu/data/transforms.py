@@ -101,7 +101,14 @@ class RandomVerticalFlip:
 
 class ResizeCenterCrop:
     """Eval path: resize shorter side to size/crop_pct, center crop
-    (transforms_factory.py:132-166)."""
+    (transforms_factory.py:132-166).
+
+    Implemented as ONE ``resize(box=...)`` of the source region the final
+    crop maps to — PIL's resample filter weights are a function of absolute
+    source coordinates, so sampling the box directly produces the same
+    pixels as resize-whole-then-crop (pinned by tests/test_data.py) while
+    resampling size^2 output pixels instead of scale_size x long-side
+    (~1.7x less resample work at 4:3)."""
 
     def __init__(self, size: int, crop_pct: float = 0.875,
                  interpolation: str = "bicubic"):
@@ -114,10 +121,12 @@ class ResizeCenterCrop:
         short = min(w, h)
         ratio = self.scale_size / short
         nw, nh = int(round(w * ratio)), int(round(h * ratio))
-        img = img.resize((nw, nh), _interp(self.interpolation))
         left = (nw - self.size) // 2
         top = (nh - self.size) // 2
-        return img.crop((left, top, left + self.size, top + self.size))
+        box = (left * w / nw, top * h / nh,
+               (left + self.size) * w / nw, (top + self.size) * h / nh)
+        return img.resize((self.size, self.size),
+                          _interp(self.interpolation), box=box)
 
 
 class ColorJitter:

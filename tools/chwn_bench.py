@@ -184,6 +184,105 @@ def bwd_chwn(x, w, dy, pad):
     return dx, dw
 
 
+def fwd_chwn_packed(x, w, pad, pack=2):
+    """N=64 form (VERDICT r4 #2): pack ``pack`` channel-GROUPS into the
+    128-lane dim (lane = g_half*64 + n) so every lane op runs full-width.
+    The kernels are reused unchanged with a virtual N = pack*64; w is
+    lane-duplicated in XLA (w[..., lane % 64]) — trivial extra HBM bytes —
+    so no in-kernel lane shuffle appears anywhere."""
+    n, hi, wi, c = x.shape
+    _, ho, wo, heads, k2, cw = w.shape
+    g = c // cw
+    assert g % pack == 0 and heads == 1
+    gp = g // pack
+    nv = n * pack
+    hp, wp = hi + 2 * pad, wi + 2 * pad
+    xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)])
+    # [N,Hp,Wp,C] -> [G,Cw,Hp,Wp,N] -> [pack,Gp,Cw,Hp,Wp,N] -> lanes (pack,N)
+    xt = jnp.transpose(xp, (3, 1, 2, 0)).reshape(pack, gp, cw, hp, wp, n)
+    xt = jnp.transpose(xt, (1, 2, 3, 4, 0, 5)).reshape(gp, cw, hp, wp, nv)
+    wt = jnp.transpose(w[:, :, :, 0], (4, 3, 1, 2, 0))   # [Cw,K2,Ho,Wo,N]
+    wt = jnp.concatenate([wt] * pack, axis=-1)           # duplicate lanes
+    kern = functools.partial(_fwd_chwn_kernel, kh=K, kw=K, dh=D, dw=D,
+                             g=gp, ho=ho, wo=wo)
+    out_t = _call(
+        kern,
+        grid=(cw,),
+        in_specs=[
+            pl.BlockSpec((gp, 1, hp, wp, nv), lambda i: (0, i, 0, 0, 0)),
+            pl.BlockSpec((1, k2, ho, wo, nv), lambda i: (i, 0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((gp, 1, ho, wo, nv),
+                               lambda i: (0, i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((gp, cw, ho, wo, nv), x.dtype),
+    )(xt, wt)
+    # [Gp,Cw,Ho,Wo,pack*N] -> [G,Cw,Ho,Wo,N] -> NHWC
+    out_t = out_t.reshape(gp, cw, ho, wo, pack, n)
+    out_t = jnp.transpose(out_t, (4, 0, 1, 2, 3, 5)).reshape(c, ho, wo, n)
+    return jnp.transpose(out_t, (3, 1, 2, 0))
+
+
+def bwd_chwn_packed(x, w, dy, pad, pack=2):
+    """Packed-N64 fused dx+dw: kernels unchanged; the dw lane halves hold
+    different g partials and fold in XLA after the launch."""
+    n, hi, wi, c = x.shape
+    _, ho, wo, heads, k2, cw = w.shape
+    g = c // cw
+    gp = g // pack
+    nv = n * pack
+    hp, wp = hi + 2 * pad, wi + 2 * pad
+    lh = (K - 1) * D - pad
+    lw = lh
+    he, we = ho + 2 * lh, wo + 2 * lw
+
+    def to_packed(t, ph, pw):
+        tp = jnp.pad(t, [(0, 0), (ph, ph), (pw, pw), (0, 0)])
+        hh, ww = tp.shape[1], tp.shape[2]
+        tt = jnp.transpose(tp, (3, 1, 2, 0)).reshape(pack, gp, cw, hh, ww, n)
+        return jnp.transpose(tt, (1, 2, 3, 4, 0, 5)).reshape(
+            gp, cw, hh, ww, nv)
+
+    xt = to_packed(x, pad, pad)
+    dyt = to_packed(dy, lh, lw)
+    wpad = jnp.pad(w[:, :, :, 0], [(0, 0), (lh, lh), (lw, lw), (0, 0),
+                                   (0, 0)])
+    wt = jnp.transpose(wpad, (4, 3, 1, 2, 0))
+    wt = jnp.concatenate([wt] * pack, axis=-1)
+    gs = gp
+    while gs > 1 and _bwd_blocks_bytes(gs, k2, hp, wp, he, we, hi, wi, ho,
+                                       wo, nv, x.dtype, w.dtype) > 9 * 2**20:
+        gs //= 2
+    nsplit = gp // gs
+    kern = functools.partial(_bwd_chwn_kernel, kh=K, kw=K, dh=D, dw=D,
+                             g=gs, ho=ho, wo=wo, hi=hi, wi=wi, lh=lh, lw=lw)
+    dx_t, dw_t = _call(
+        kern,
+        grid=(cw, nsplit),
+        in_specs=[
+            pl.BlockSpec((gs, 1, hp, wp, nv), lambda i, s: (s, i, 0, 0, 0)),
+            pl.BlockSpec((1, k2, he, we, nv), lambda i, s: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((gs, 1, he, we, nv), lambda i, s: (s, i, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((gs, 1, hi, wi, nv), lambda i, s: (s, i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, k2, ho, wo, nv),
+                         lambda i, s: (s, i, 0, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((gp, cw, hi, wi, nv), x.dtype),
+            jax.ShapeDtypeStruct((nsplit, cw, k2, ho, wo, nv), w.dtype),
+        ],
+    )(xt, wt, dyt)
+    dx_t = dx_t.reshape(gp, cw, hi, wi, pack, n)
+    dx_t = jnp.transpose(dx_t, (4, 0, 1, 2, 3, 5)).reshape(c, hi, wi, n)
+    dx = jnp.transpose(dx_t, (3, 1, 2, 0))
+    # fold the G split AND the lane halves in f32
+    dw_f = dw_t.astype(jnp.float32).reshape(nsplit, cw, k2, ho, wo, pack, n)
+    dw_s = jnp.sum(dw_f, axis=(0, 5)).astype(w.dtype)
+    dw = jnp.transpose(dw_s, (4, 2, 3, 1, 0))[:, :, :, None]
+    return dx, dw
+
+
 def _bwd_blocks_bytes(gs, k2, hp, wp, he, we, hi, wi, ho, wo, n, xdt, wdt):
     """Crude block working-set model (sublane pad to 8) for the G split."""
     def tb(shape, it):
@@ -247,9 +346,18 @@ def run_stage(n, h, c, dtype=jnp.bfloat16, do_fwd=True, do_bwd=True):
     if do_fwd:
         t_ship = chain_time(lambda xx: agg(xx, w, impl="pallas"), x)
         t_chwn = chain_time(lambda xx: fwd_chwn(xx, w, pad), x)
-        print(f"[{h}x{h}x{c}] FWD shipped {t_ship*1e3:7.3f} ms | "
+        print(f"[{h}x{h}x{c} n{n}] FWD shipped {t_ship*1e3:7.3f} ms | "
               f"chwn {t_chwn*1e3:7.3f} ms | ratio "
               f"{t_ship/t_chwn:5.2f}x", flush=True)
+        if n == 64 and (c // 8) >= 2:
+            gotp = jax.jit(functools.partial(fwd_chwn_packed, pad=pad))(x, w)
+            ep = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
+                                       - gotp.astype(jnp.float32))))
+            t_pack = chain_time(lambda xx: fwd_chwn_packed(xx, w, pad), x)
+            print(f"[{h}x{h}x{c} n{n}] FWD packed {t_pack*1e3:7.3f} ms "
+                  f"(parity {ep:.2e}) | vs shipped "
+                  f"{t_ship/t_pack:5.2f}x | vs chwn "
+                  f"{t_chwn/t_pack:5.2f}x", flush=True)
 
     if do_bwd:
         # shipped: vjp of the pallas op (fused dx+dw dispatch, default-ON)
@@ -268,18 +376,72 @@ def run_stage(n, h, c, dtype=jnp.bfloat16, do_fwd=True, do_bwd=True):
               flush=True)
         t_ship = chain_time(ship_pair, dy)
         t_chwn = chain_time(lambda dd: bwd_chwn(x, w, dd, pad), dy)
-        print(f"[{h}x{h}x{c}] BWD shipped {t_ship*1e3:7.3f} ms | "
+        print(f"[{h}x{h}x{c} n{n}] BWD shipped {t_ship*1e3:7.3f} ms | "
               f"chwn {t_chwn*1e3:7.3f} ms | ratio "
               f"{t_ship/t_chwn:5.2f}x", flush=True)
+        if n == 64 and (c // 8) >= 2:
+            dxp, dwp = jax.jit(
+                functools.partial(bwd_chwn_packed, pad=pad))(x, w, dy)
+            e_dxp = float(jnp.max(jnp.abs(dxr.astype(jnp.float32)
+                                          - dxp.astype(jnp.float32))))
+            e_dwp = float(jnp.max(jnp.abs(dwr.astype(jnp.float32)
+                                          - dwp.astype(jnp.float32))))
+            t_pack = chain_time(lambda dd: bwd_chwn_packed(x, w, dd, pad),
+                                dy)
+            print(f"[{h}x{h}x{c} n{n}] BWD packed {t_pack*1e3:7.3f} ms "
+                  f"(parity dx {e_dxp:.2e} dw {e_dwp:.2e}) | vs shipped "
+                  f"{t_ship/t_pack:5.2f}x | vs chwn "
+                  f"{t_chwn/t_pack:5.2f}x", flush=True)
+
+
+def run_transpose(n, h, c):
+    """Boundary-transpose cost in isolation: the NHWC->CHWN pad+transpose
+    of x, the w transpose, and the CHWN->NHWC out transpose — the bytes a
+    block-resident CHWN pipeline would NOT pay (VERDICT r4 #2)."""
+    cw = c // 8
+    g = c // cw
+    pad = K // 2
+    kx, kw_ = jax.random.split(jax.random.PRNGKey(0), 2)
+    x = jax.random.normal(kx, (n, h, h, c), jnp.bfloat16)
+    w = jax.random.normal(kw_, (n, h, h, 1, K * K, cw), jnp.bfloat16)
+
+    def x_round_trip(xx):
+        hp = h + 2 * pad
+        xp = jnp.pad(xx, [(0, 0), (pad, pad), (pad, pad), (0, 0)])
+        xt = jnp.transpose(xp, (3, 1, 2, 0)).reshape(g, cw, hp, hp, n)
+        back = jnp.transpose(
+            (xt[:, :, pad:pad + h, pad:pad + h] * 1.000001).reshape(
+                c, h, h, n), (3, 1, 2, 0))
+        return back
+
+    def w_one_way(xx):
+        # w transpose feeds the kernel; fold its cost into an x-shaped
+        # carry so the chain stays well-typed
+        wt = jnp.transpose(w[:, :, :, 0], (4, 3, 1, 2, 0))
+        s = jnp.sum(wt.astype(jnp.float32)) * 1e-20
+        return xx + s.astype(xx.dtype)
+
+    t_x = chain_time(x_round_trip, x)
+    t_w = chain_time(w_one_way, x)
+    print(f"[{h}x{h}x{c} n{n}] TRANSPOSE x round-trip {t_x*1e3:7.3f} ms | "
+          f"w one-way {t_w*1e3:7.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     stages = [s for s in sys.argv[2:]] or ["28", "14", "7"]
     geo = {"28": (128, 28, 128), "14": (128, 14, 256), "7": (128, 7, 512),
-           "tiny": (8, 6, 16)}
+           "tiny": (8, 6, 16),
+           # flagship cells (VERDICT r4 #2): the @320 stage-4 10x10 map and
+           # the @320-train bs64 forms (lanes half-filled)
+           "20": (128, 20, 256), "16": (128, 16, 256), "10": (128, 10, 512),
+           "20n64": (64, 20, 256), "10n64": (64, 10, 512),
+           "28n64": (64, 28, 128), "14n64": (64, 14, 256)}
     print(f"devices: {jax.devices()}", flush=True)
     for s in stages:
         n, h, c = geo[s]
+        if mode == "trans":
+            run_transpose(n, h, c)
+            continue
         run_stage(n, h, c, do_fwd=mode in ("fwd", "all"),
                   do_bwd=mode in ("bwd", "all"))

@@ -21,9 +21,30 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 40
 OUT = sys.argv[2] if len(sys.argv) > 2 else None
 BS, SIZE = 128, 224
+
+
+def _bounds():
+    """Current host/chip rates from the artifacts, not embedded constants
+    (VERDICT r4 weak #4)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    host = chip = None
+    try:
+        import glob
+        lp = sorted(glob.glob(os.path.join(root, "LOADER_r*.json")))[-1]
+        d = json.load(open(lp))
+        host = (d.get("decode_train_hostaug_draft_img_s")
+                or d.get("decode_train_hostaug_img_s"))
+    except Exception:
+        pass
+    try:
+        d = json.load(open(os.path.join(root, ".bench_cache.json")))
+        chip = d["detail"]["train_imgs_per_sec"]
+    except Exception:
+        pass
+    return host, chip
 
 
 def main():
@@ -56,9 +77,14 @@ def main():
                     dtype=jnp.bfloat16)
     model = create_model("cotnet50", num_classes=n_classes,
                          dtype=jnp.bfloat16)
+    # schedule sized to the RUN: cosine over exactly STEPS updates with a
+    # 1-epoch warmup (r4's 24-step run at lr .05 barely moved the loss —
+    # VERDICT r4 weak #5)
+    steps_per_epoch = 768 // BS
+    epochs = max(1, STEPS // steps_per_epoch)
     schedule_fn, _ = create_scheduler(
-        dict(sched="cosine", epochs=4, lr=0.05, warmup_epochs=1,
-             warmup_lr=1e-4, min_lr=1e-5), steps_per_epoch=6)
+        dict(sched="cosine", epochs=epochs, lr=0.1, warmup_epochs=1,
+             warmup_lr=1e-4, min_lr=1e-5), steps_per_epoch=steps_per_epoch)
     tx = create_optimizer(
         dict(opt="sgd", momentum=0.9, weight_decay=4e-5), schedule_fn)
     x0 = jnp.zeros((BS, SIZE, SIZE, 3), jnp.bfloat16)
@@ -93,25 +119,51 @@ def main():
     wall = time.time() - t0
     loader.close()
 
+    # masked ordered eval on the train set (production eval path: draft
+    # decode -> pad-and-mask batches -> jitted top-k counts) — memorization
+    # far above the 1/n_classes chance is the convincing learning signal
+    # the r4 loss-tail lacked (VERDICT r4 weak #5)
+    from cotnet_tpu.train.step import make_eval_step
+    eval_loader = Loader(ds, BS, train=False, image_size=SIZE,
+                         workers=os.cpu_count(), dtype=jnp.bfloat16)
+    eval_step = make_eval_step(model)
+    c1 = cn = 0.0
+    for batch in eval_loader:
+        r = jax.device_get(eval_step(state, batch))
+        c1 += float(r["top1_count"])
+        cn += float(r["n"])
+    eval_loader.close()
+    top1 = 100.0 * c1 / cn
+    host_rate, chip_rate = _bounds()
+
+    head = sum(losses[:5]) / 5
+    tail = sum(losses[-5:]) / 5
     res = {
         "model": "cotnet50", "image_size": SIZE, "batch_size": BS,
         "steps": STEPS, "host_cores": os.cpu_count(),
         "platform": jax.default_backend(),
         "e2e_imgs_per_sec": round(n_done / wall, 1),
+        "loss_first5_mean": round(head, 4),
+        "loss_last5_mean": round(tail, 4),
         "loss_first3": [round(v, 4) for v in losses[:3]],
         "loss_last3": [round(v, 4) for v in losses[-3:]],
+        "trainset_top1_pct": round(top1, 2),
+        "chance_pct": round(100.0 / n_classes, 2),
+        "eval_n": int(cn),
         "total_wall_s": round(time.time() - t_start, 1),
         "bounds": {
-            "host_stage_img_s_per_core": 293.3,   # LOADER_r04.json
-            "chip_train_img_s": 1239.5,           # BENCH_r04
+            "host_stage_img_s_per_core": host_rate,
+            "chip_train_img_s": chip_rate,
             "note": "1-core box: e2e is host-bound; per-step fetch of the "
                     "loss adds the ~30 ms relay round-trip per step "
                     "(production fetches at log intervals only)",
         },
     }
     assert all(map(lambda v: v == v and abs(v) < 1e9, losses)), losses
-    assert sum(losses[-3:]) < sum(losses[:3]), (
-        f"no learning: {losses[:3]} -> {losses[-3:]}")
+    assert tail < head - 0.05, (
+        f"no convincing learning: first5={head:.4f} last5={tail:.4f}")
+    assert top1 >= 2 * 100.0 / n_classes, (
+        f"eval not above chance: {top1:.1f}% vs {100.0 / n_classes:.1f}%")
     print(json.dumps(res, indent=1), flush=True)
     if OUT:
         with open(OUT, "w") as f:

@@ -11,7 +11,8 @@ Usage:
   python tools/train_attr.py <trace.json.gz> [iters] roofline   # per-fusion
       bounds table: every top fusion as (ms, bytes, flops, % of byte-bound,
       % of flop-bound) against the measured platform envelope
-      (tools/roofline.py: ~127 GB/s HBM elementwise, ~64 TFLOP/s bf16 MXU).
+      (tools/roofline2.py, fixed-cost-corrected: ~824 GB/s HBM,
+      ~186 TFLOP/s bf16 MXU — near spec).
       A fusion near 100% of its best bound is at its roofline; one far below
       both bounds is a formulation target (VERDICT r3 #1/#2).
 """
