@@ -285,10 +285,17 @@ CHWN_ANY_N = _os.environ.get("COTNET_CHWN_ANY_N", "0") == "1"
 # 28x28x128 fwd 2.017->1.695 bwd 3.821->2.077, 14x14x256 fwd 1.860->1.487
 # bwd 1.861->1.693, but 7x7x512 LOSES (0.93x/0.92x: W=7 pads to 16
 # sublanes and the boundary transposes outweigh the lane win), so the
-# late-stage maps stay on the NHWC kernels; 144 also keeps the flagship's
-# untested 10x10 @320 stage-4 map (same sublane-padding economics as 7x7)
-# on the measured incumbents.
-CHWN_MIN_MAP = int(_os.environ.get("COTNET_CHWN_MIN_MAP", "144"))
+# late-stage maps stay on the NHWC kernels.  r5 measured the previously
+# untested flagship cells (N=128): 20x20x256 fwd 1.26x bwd 1.02x,
+# 16x16x256 fwd 1.02x bwd 1.16x, and the @320 stage-4 10x10x512 map
+# fwd 1.12x bwd 1.00x — so the floor drops to 100 (10x10 in, 7x7 out;
+# 7x7 = map 49 stays excluded by measurement).
+# N=64 forms (flagship @320 trains bs64): measured OFF and NOT shipped —
+# plain CHWN with half-filled lanes loses everywhere (fwd 0.85-0.92x,
+# bwd 0.93-0.95x); the packed two-groups-per-lane form (tools/
+# chwn_bench.py fwd_chwn_packed) wins only 10x10 fwd (1.22x) and loses
+# its bwd (0.83x) — a wash per block-pass, so bs64 stays NHWC.
+CHWN_MIN_MAP = int(_os.environ.get("COTNET_CHWN_MIN_MAP", "100"))
 _WLOOP_GROUP = 2
 _WLOOP_BUDGET_BYTES = 16 * 1024 * 1024
 
