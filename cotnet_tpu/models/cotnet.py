@@ -33,7 +33,9 @@ from cotnet_tpu.nn import (
     get_act_fn,
 )
 from cotnet_tpu.ops import local_aggregate
-from cotnet_tpu.ops.local_agg import local_aggregate_embed_gn
+from cotnet_tpu.ops.local_agg import local_aggregate_embed_gn, local_aggregate_wt
+from cotnet_tpu.ops.local_agg_pallas import chwn_wt_plan
+from cotnet_tpu.ops import local_agg_pallas as _lap
 
 import os as _os
 
@@ -163,20 +165,50 @@ class CotLayer(fnn.Module):
                 v, w, w2.reshape(dim // factor, k2 * cw), b2, gscale, gbias,
                 kernel_size=ks, padding=(ks - 1) // 2, impl=self.impl)
         else:
-            w = Conv2d(k2 * cw, 1, use_bias=True, dtype=self.dtype,
-                       name="embed_conv2")(w)
             fold = _use_fold(training)
-            gn = SubChannelGroupNorm(k2=k2, cw=cw, dtype=self.dtype,
-                                     name="embed_gn", fold=fold)
-            if fold:
-                wsc, wbi = gn(w)  # [n, 1, k2, cw] deferred-normalize affine
+            pad = (ks - 1) // 2
+            use_wt = (_lap.CHWN_W and not fold
+                      and self.impl in ("auto", "pallas")
+                      and chwn_wt_plan((n, h, wd, dim), (cw, k2, h, wd, n),
+                                       jnp.dtype(v.dtype).itemsize,
+                                       (pad, pad)) is not None)
+            if use_wt:
+                # CHWN-resident weights (COTNET_CHWN_W): transpose the
+                # HALF-width embed activation once, emit embed_conv2 as a
+                # channel-major matmul whose output layout IS the kernel's
+                # [Cw, K2, H, W, N], normalize in that layout, and feed
+                # agg_core_pallas_wt — the K2*Cw weight tensor (9/8 x the
+                # activation) never pays a boundary transpose in either
+                # direction.  Same params as the Conv2d/GN pair.
+                import numpy as _np
+                w2p, b2p = _Conv1x1Params(k2 * cw, dim // factor,
+                                          name="embed_conv2")()
+                # conv emits k-major channels (k*Cw + cw); the CHWN layout
+                # wants cw-major — permute the weight COLUMNS instead (free)
+                perm = _np.arange(k2 * cw).reshape(k2, cw).T.reshape(-1)
+                wmat = w2p.reshape(dim // factor, k2 * cw)[:, perm].astype(
+                    w.dtype)
+                wt1 = jnp.transpose(w, (3, 1, 2, 0))        # [i, h, w, n]
+                wt = jnp.einsum("io,ihwn->ohwn", wmat, wt1)
+                wt = wt + b2p[perm][:, None, None, None].astype(wt.dtype)
+                wt = wt.reshape(cw, k2, h, wd, n)
+                wt = SubChannelGroupNorm(k2=k2, cw=cw, dtype=self.dtype,
+                                         name="embed_gn", chwn=True)(wt)
+                y = local_aggregate_wt(v, wt, kernel_size=ks, padding=pad)
             else:
-                w = gn(w)
-                wsc = wbi = None
-            wr = w.reshape(n, h, wd, 1, k2, cw)
-            y = local_aggregate(v, wr, kernel_size=ks,
-                                padding=(ks - 1) // 2, impl=self.impl,
-                                w_scale=wsc, w_bias=wbi)
+                w = Conv2d(k2 * cw, 1, use_bias=True, dtype=self.dtype,
+                           name="embed_conv2")(w)
+                gn = SubChannelGroupNorm(k2=k2, cw=cw, dtype=self.dtype,
+                                         name="embed_gn", fold=fold)
+                if fold:
+                    wsc, wbi = gn(w)  # [n,1,k2,cw] deferred-normalize affine
+                else:
+                    w = gn(w)
+                    wsc = wbi = None
+                wr = w.reshape(n, h, wd, 1, k2, cw)
+                y = local_aggregate(v, wr, kernel_size=ks,
+                                    padding=pad, impl=self.impl,
+                                    w_scale=wsc, w_bias=wbi)
         y = swish(bn("bn")(y))
 
         # (5) radix-2 fusion of dynamic (y) and static (k) contexts

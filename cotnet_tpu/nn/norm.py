@@ -194,6 +194,9 @@ class SubChannelGroupNorm(fnn.Module):
     fold: bool = False
     raw: bool = False   # return (scale, bias) params only (the fused-eval
     #                     kernel computes stats + normalize on-chip)
+    chwn: bool = False  # input/output in the CHWN-resident weight layout
+    #                     [Cw, K2, H, W, N] (COTNET_CHWN_W); params stay the
+    #                     k-major flat (K2*Cw,) so checkpoints interchange
 
     @fnn.compact
     def __call__(self, x=None):
@@ -203,6 +206,22 @@ class SubChannelGroupNorm(fnn.Module):
         bias = self.param("bias", fnn.initializers.zeros, (c,), jnp.float32)
         if self.raw:
             return scale, bias
+        if self.chwn:
+            # x: [Cw, K2, H, W, N]; same statistics — per (cw, n) over
+            # (K2, H, W) — now reductions over major/sublane dims with the
+            # batch on lanes.  dw_groups=1 only (CotLayer geometry).
+            assert self.dw_groups == 1
+            assert x.shape[0] == self.cw and x.shape[1] == self.k2, x.shape
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+            mean2 = jnp.mean(jnp.square(xf), axis=(1, 2, 3), keepdims=True)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            inv = jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+            # per-channel affine, k-major params viewed cw-major
+            g = scale.reshape(self.k2, self.cw).T[:, :, None, None, None]
+            be = bias.reshape(self.k2, self.cw).T[:, :, None, None, None]
+            y = (xf - mean) * inv * g + be
+            return y.astype(self.dtype or x.dtype)
         n, h, w, _ = x.shape
         assert x.shape[-1] == c, (x.shape, self.k2, self.cw)
 

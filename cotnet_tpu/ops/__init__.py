@@ -3,6 +3,7 @@ from cotnet_tpu.ops.local_agg import (
     local_aggregate_dilated,
     local_aggregate_mix,
     local_aggregate_mix_merge,
+    local_aggregate_wt,
     out_size,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "local_aggregate_dilated",
     "local_aggregate_mix",
     "local_aggregate_mix_merge",
+    "local_aggregate_wt",
     "out_size",
 ]

@@ -337,6 +337,34 @@ def _agg_xla(xp, w, kernel_size, stride, dilation, w_scale, w_bias):
                          w_bias)
 
 
+def local_aggregate_wt(
+    x: jax.Array,
+    wt: jax.Array,
+    *,
+    kernel_size=3,
+    padding=None,
+    dilation=1,
+) -> jax.Array:
+    """Aggregation with CHWN-RESIDENT weights (COTNET_CHWN_W path).
+
+    ``wt``: ``[Cw, K*K, Ho, Wo, N]`` — the layout the CHWN Pallas kernels
+    consume natively; its gradient returns in the same layout, so the
+    weight tensor (9/8 x the activation bytes) never pays the
+    NHWC<->CHWN boundary transpose in either direction.  Stride 1, zero
+    pad, heads == 1 only (the CotLayer geometry); caller gates on
+    ``ops.local_agg_pallas.chwn_wt_plan``."""
+    from cotnet_tpu.ops import local_agg_pallas as lap
+
+    kernel_size = _pair(kernel_size)
+    dilation = _pair(dilation)
+    if padding is None:
+        padding = tuple((d * (k - 1) + 1) // 2
+                        for k, d in zip(kernel_size, dilation))
+    else:
+        padding = _pair(padding)
+    return lap.agg_core_pallas_wt(x, wt, kernel_size, dilation, padding)
+
+
 def local_aggregate_embed_gn(
     x: jax.Array,
     w_pre: jax.Array,

@@ -278,6 +278,13 @@ FUSED_BWD = _os.environ.get("COTNET_FUSED_BWD", "1") == "1"
 # (tiled, ~2x bytes on each tensor) and are included in all measurements.
 # See chwn_plan for eligibility; tools/chwn_bench.py for the shootout.
 CHWN_DISPATCH = _os.environ.get("COTNET_CHWN", "1") == "1"
+# CHWN-resident WEIGHTS in the CoT block (agg_core_pallas_wt): embed_conv2
+# emits [Cw, K2, H, W, N] directly (channel-major matmul + CHWN GroupNorm)
+# and dw returns in the same layout, deleting the w/dw boundary transposes
+# — the largest tensors crossing the layout boundary.  r5 on-chip A/B
+# (tools/train_ab_bench.py COTNET_CHWN_W=1, cotnet50 bs128 bf16 train):
+# see STATUS.md r5 section for the measured verdict that set this default.
+CHWN_W = _os.environ.get("COTNET_CHWN_W", "0") == "1"
 # tests lift the N-fills-lanes gate to exercise the kernels at toy sizes
 CHWN_ANY_N = _os.environ.get("COTNET_CHWN_ANY_N", "0") == "1"
 # smallest output map (ho*wo) where CHWN wins (isolated chained A/B,
@@ -1023,15 +1030,20 @@ def _w_to_chwn(w, pad_h=0, pad_w=0):
     return jnp.transpose(wsq, (4, 3, 1, 2, 0))
 
 
-def _agg_fwd_chwn(x, w, s, b, geo, padding, gs):
+def _agg_fwd_chwn(x, w, s, b, geo, padding, gs, wt=None):
     """CHWN forward dispatch: transpose in, one pallas_call over
-    (cw, G/gs), transpose out.  s/b: optional [N, 1, K2, Cw] f32 affine."""
+    (cw, G/gs), transpose out.  s/b: optional [N, 1, K2, Cw] f32 affine.
+    ``wt``: weights ALREADY in the CHWN [Cw, K2, Ho, Wo, N] layout (the
+    residency path, agg_core_pallas_wt) — skips the w boundary transpose."""
     n, hi, wi, c = x.shape
-    _, ho, wo, _, k2, cw = w.shape
+    if wt is None:
+        _, ho, wo, _, k2, cw = w.shape
+        wt = _w_to_chwn(w)
+    else:
+        cw, k2, ho, wo, _ = wt.shape
     g = c // cw
     hp, wp = hi + 2 * geo["ph"], wi + 2 * geo["pw"]
     xt = _to_chwn(x, g, cw, geo["ph"], geo["pw"])
-    wt = _w_to_chwn(w)
     affine = s is not None
     ins = [xt, wt]
     in_specs = [
@@ -1062,17 +1074,22 @@ def _agg_fwd_chwn(x, w, s, b, geo, padding, gs):
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * ho * wo * geo["kh"] * geo["kw"] * c,
-            bytes_accessed=(x.size + w.size + n * ho * wo * c)
+            bytes_accessed=(x.size + wt.size + n * ho * wo * c)
             * x.dtype.itemsize,
             transcendentals=0),
     )(*ins)
     return _from_chwn(out_t)
 
 
-def _agg_bwd_chwn(x, w, dy, geo, padding, gs):
-    """CHWN fused dx+dw dispatch (gather-form; requires lh, lw >= 0)."""
+def _agg_bwd_chwn(x, w, dy, geo, padding, gs, wt_in=None):
+    """CHWN fused dx+dw dispatch (gather-form; requires lh, lw >= 0).
+    ``wt_in``: weights already CHWN [Cw, K2, Ho, Wo, N] — dw then returns
+    in the SAME layout (no boundary transposes on the weight side)."""
     n, hi, wi, c = x.shape
-    _, ho, wo, _, k2, cw = w.shape
+    if wt_in is None:
+        _, ho, wo, _, k2, cw = w.shape
+    else:
+        cw, k2, ho, wo, _ = wt_in.shape
     g = c // cw
     hp, wp = hi + 2 * geo["ph"], wi + 2 * geo["pw"]
     lh = (geo["kh"] - 1) * geo["dh"] - geo["ph"]
@@ -1081,7 +1098,11 @@ def _agg_bwd_chwn(x, w, dy, geo, padding, gs):
     nsplit = g // gs
     xt = _to_chwn(x, g, cw, geo["ph"], geo["pw"])
     dyt = _to_chwn(dy, g, cw, lh, lw)
-    wt = _w_to_chwn(w, lh, lw)
+    if wt_in is None:
+        wt = _w_to_chwn(w, lh, lw)
+    else:
+        wt = jnp.pad(wt_in, [(0, 0), (0, 0), (lh, lh), (lw, lw), (0, 0)])
+    dw_dtype = (w if wt_in is None else wt_in).dtype
     kern = functools.partial(_dxdw_chwn_kernel, kh=geo["kh"], kw=geo["kw"],
                              dh=geo["dh"], dw=geo["dw"], gs=gs, ho=ho,
                              wo=wo, hi=hi, wi=wi, lh=lh, lw=lw)
@@ -1100,12 +1121,12 @@ def _agg_bwd_chwn(x, w, dy, geo, padding, gs):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((g, cw, hi, wi, n), x.dtype),
-            jax.ShapeDtypeStruct((nsplit, cw, k2, ho, wo, n), w.dtype),
+            jax.ShapeDtypeStruct((nsplit, cw, k2, ho, wo, n), dw_dtype),
         ],
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=4 * n * ho * wo * geo["kh"] * geo["kw"] * c,
-            bytes_accessed=(2 * x.size + 2 * w.size + n * ho * wo * c)
+            bytes_accessed=(2 * x.size + 2 * wt.size + n * ho * wo * c)
             * x.dtype.itemsize,
             transcendentals=0),
     )(xt, wt, dyt)
@@ -1113,7 +1134,9 @@ def _agg_bwd_chwn(x, w, dy, geo, padding, gs):
     # per-split dw partials: each is an f32 SSA chain rounded once; the
     # cross-split sum re-accumulates in f32 (bit-identical when nsplit == 1)
     dw_s = dw_t[0] if nsplit == 1 else jnp.sum(
-        dw_t.astype(jnp.float32), axis=0).astype(w.dtype)
+        dw_t.astype(jnp.float32), axis=0).astype(dw_dtype)
+    if wt_in is not None:
+        return dx, dw_s            # stays [Cw, K2, Ho, Wo, N]
     # [Cw, K2, Ho, Wo, N] -> [N, Ho, Wo, 1, K2, Cw]
     dwk = jnp.transpose(dw_s, (4, 2, 3, 1, 0))[:, :, :, None]
     return dx, dwk
@@ -1406,6 +1429,56 @@ def _agg_bwd_rule(kernel_size, dilation, padding, res, dy):
 
 
 agg_core_pallas.defvjp(_agg_fwd_rule, _agg_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# CHWN-resident weights (COTNET_CHWN_W): the weight tensor enters — and its
+# gradient leaves — in the kernel-native [Cw, K2, Ho, Wo, N] layout, so the
+# most expensive boundary transposes (w fwd, dw bwd: the K2*Cw tensor is
+# 9/8 x the activation) never happen.  CotLayer produces wt directly from
+# embed_conv2 as a channel-major matmul + CHWN GroupNorm (models/cotnet.py).
+
+
+def chwn_wt_plan(x_shape, wt_shape, itemsize, padding):
+    """(gs_fwd, gs_bwd) for the wt-resident form, or None if ineligible
+    (same rules as chwn_plan on the equivalent NHWC shapes)."""
+    cw, k2, ho, wo, n = wt_shape
+    return chwn_plan(x_shape, (n, ho, wo, 1, k2, cw), itemsize, padding)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def agg_core_pallas_wt(x, wt, kernel_size, dilation, padding=(0, 0)):
+    """Stride-1 local aggregation, weights pre-transposed to CHWN.
+
+    x: [N, H, W, C]; wt: [Cw, K2, Ho, Wo, N] -> out [N, Ho, Wo, C].
+    Gradient wrt wt is returned in the same CHWN layout.  Caller must gate
+    on ``chwn_wt_plan``."""
+    return _agg_fwd_wt_impl(x, wt, kernel_size, dilation, padding)
+
+
+def _agg_fwd_wt_impl(x, wt, kernel_size, dilation, padding):
+    cw, k2, ho, wo, n = wt.shape
+    w_shape = (n, ho, wo, 1, k2, cw)
+    geo = _geometry(x.shape, w_shape, kernel_size, dilation, padding)
+    cp = chwn_plan(x.shape, w_shape, x.dtype.itemsize, padding)
+    assert cp is not None, "caller must gate on chwn_wt_plan"
+    return _agg_fwd_chwn(x, None, None, None, geo, padding, cp[0], wt=wt)
+
+
+def _agg_wt_fwd_rule(x, wt, kernel_size, dilation, padding):
+    return _agg_fwd_wt_impl(x, wt, kernel_size, dilation, padding), (x, wt)
+
+
+def _agg_wt_bwd_rule(kernel_size, dilation, padding, res, dy):
+    x, wt = res
+    cw, k2, ho, wo, n = wt.shape
+    w_shape = (n, ho, wo, 1, k2, cw)
+    geo = _geometry(x.shape, w_shape, kernel_size, dilation, padding)
+    cp = chwn_plan(x.shape, w_shape, x.dtype.itemsize, padding)
+    return _agg_bwd_chwn(x, None, dy, geo, padding, cp[1], wt_in=wt)
+
+
+agg_core_pallas_wt.defvjp(_agg_wt_fwd_rule, _agg_wt_bwd_rule)
 
 
 # ---------------------------------------------------------------------------

@@ -710,3 +710,86 @@ def test_chwn_bf16_production_shape():
             assert rel <= bound, (name, rel, bound)
     finally:
         lap.CHWN_DISPATCH = old
+
+
+def test_chwn_resident_weights():
+    """agg_core_pallas_wt (COTNET_CHWN_W): CHWN-resident weight input, dw
+    returned in the same layout — must match the NHWC formulation for fwd
+    and both grads, and the CotLayer wt path must reproduce the standard
+    path with the IDENTICAL param tree (checkpoints interchange)."""
+    import cotnet_tpu.models.cotnet as cm
+    import cotnet_tpu.ops.local_agg_pallas as lap
+    from cotnet_tpu.ops import local_aggregate_wt
+
+    old = (lap.CHWN_DISPATCH, lap.CHWN_ANY_N, lap.CHWN_W)
+    try:
+        lap.CHWN_DISPATCH = True
+        lap.CHWN_ANY_N = True
+        n, h, c, cw, k = 4, 9, 16, 2, 3
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        x = jax.random.normal(ks[0], (n, h, h, c), jnp.float32)
+        w = jax.random.normal(ks[1], (n, h, h, 1, k * k, cw), jnp.float32)
+        dy = jax.random.normal(ks[2], (n, h, h, c), jnp.float32)
+        wt = jnp.transpose(w[:, :, :, 0], (4, 3, 1, 2, 0))
+        assert lap.chwn_wt_plan(x.shape, wt.shape, 4, (1, 1)) is not None
+
+        ref = local_aggregate(x, w, kernel_size=k, padding=1, impl="xla")
+        got = local_aggregate_wt(x, wt, kernel_size=k, padding=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
+        def f_ref(x_, w_):
+            return jnp.vdot(local_aggregate(
+                x_, w_, kernel_size=k, padding=1, impl="xla"), dy)
+
+        def f_wt(x_, wt_):
+            return jnp.vdot(local_aggregate_wt(
+                x_, wt_, kernel_size=k, padding=1), dy)
+
+        gx_r, gw_r = jax.grad(f_ref, (0, 1))(x, w)
+        gx_t, gwt = jax.grad(f_wt, (0, 1))(x, wt)
+        np.testing.assert_allclose(np.asarray(gx_t), np.asarray(gx_r),
+                                   atol=2e-5)
+        gwt_nhwc = jnp.transpose(gwt, (4, 2, 3, 1, 0))[:, :, :, None]
+        np.testing.assert_allclose(np.asarray(gwt_nhwc), np.asarray(gw_r),
+                                   atol=2e-5)
+
+        # model level: CotLayer wt path == standard path, same param tree
+        dim = 16
+        xm = jax.random.normal(jax.random.PRNGKey(3), (n, h, h, dim),
+                               jnp.float32)
+        layer = cm.CotLayer(dim=dim, kernel_size=3)
+        lap.CHWN_W = False
+        v0 = jax.jit(lambda r, xx: layer.init(
+            {"params": r}, xx, training=True))(jax.random.PRNGKey(1), xm)
+
+        def loss(variables, gate):
+            lap.CHWN_W = gate
+            out, _ = layer.apply(variables, xm, training=True,
+                                 mutable=["batch_stats"])
+            return jnp.sum(jnp.sin(out)), out
+
+        (l0, o0), g0 = jax.value_and_grad(
+            lambda v: loss(v, False), has_aux=True)(v0)
+        (l1, o1), g1 = jax.value_and_grad(
+            lambda v: loss(v, True), has_aux=True)(v0)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), atol=2e-4)
+        for (p, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(g0)[0],
+                jax.tree_util.tree_flatten_with_path(g1)[0]):
+            scale = float(jnp.abs(a).max())
+            # leaves whose gradient is mathematically ~zero (e.g. a bias
+            # feeding straight into BN) carry only rounding noise — bound
+            # them absolutely; real leaves (scale O(10)) get a rel bound
+            tol = 1e-3 if scale < 1e-2 else 2e-4 * scale
+            assert float(jnp.abs(a - b).max()) <= tol, (p, scale)
+        # identical param trees (the wt path re-declares the same modules)
+        lap.CHWN_W = True
+        v1 = jax.jit(lambda r, xx: layer.init(
+            {"params": r}, xx, training=True))(jax.random.PRNGKey(1), xm)
+        assert jax.tree_util.tree_structure(v0) == \
+            jax.tree_util.tree_structure(v1)
+        assert jax.tree.all(jax.tree.map(
+            lambda a, b: a.shape == b.shape and a.dtype == b.dtype, v0, v1))
+    finally:
+        lap.CHWN_DISPATCH, lap.CHWN_ANY_N, lap.CHWN_W = old
