@@ -394,6 +394,176 @@ def run_stage(n, h, c, dtype=jnp.bfloat16, do_fwd=True, do_bwd=True):
                   f"{t_chwn/t_pack:5.2f}x", flush=True)
 
 
+def _fwd_chwn_strip_kernel(xp_ref, w_ref, out_ref, *, kh, kw, dh, dw, gs,
+                           hs, wo):
+    """Stage-1 form: xp stays FULLY resident per (cw, g) block (0.9 MB at
+    56x56x128n) while w/out are H-strips — the K2 weight block alone (~8 MB)
+    is what excludes stage 1 from the whole-image CHWN plan.  H offsets are
+    dynamic (program_id); W offsets static."""
+    i = pl.program_id(2)
+    out_dtype = out_ref.dtype
+    for gi in range(gs):
+        acc = None
+        for ikh in range(kh):
+            for ikw in range(kw):
+                k = ikh * kw + ikw
+                xs = xp_ref[gi, 0, pl.dslice(i * hs + ikh * dh, hs),
+                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
+                wk = w_ref[0, k].astype(jnp.float32)
+                tap = xs * wk
+                acc = tap if acc is None else acc + tap
+        out_ref[gi, 0] = acc.astype(out_dtype)
+
+
+def fwd_chwn_strip(x, w, pad, hs=8):
+    """CHWN forward with H-strips for the 56x56 stage-1 geometry."""
+    n, hi, wi, c = x.shape
+    _, ho, wo, heads, k2, cw = w.shape
+    g = c // cw
+    hp, wp = hi + 2 * pad, wi + 2 * pad
+    assert ho % hs == 0
+    xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)])
+    xt = jnp.transpose(xp, (3, 1, 2, 0)).reshape(g, cw, hp, wp, n)
+    wt = jnp.transpose(w[:, :, :, 0], (4, 3, 1, 2, 0))
+    kern = functools.partial(_fwd_chwn_strip_kernel, kh=K, kw=K, dh=D, dw=D,
+                             gs=1, hs=hs, wo=wo)
+    out_t = _call(
+        kern,
+        grid=(cw, g, ho // hs),
+        in_specs=[
+            pl.BlockSpec((1, 1, hp, wp, n), lambda i, s, j: (s, i, 0, 0, 0)),
+            pl.BlockSpec((1, k2, hs, wo, n),
+                         lambda i, s, j: (i, 0, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hs, wo, n),
+                               lambda i, s, j: (s, i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, cw, ho, wo, n), x.dtype),
+    )(xt, wt)
+    return jnp.transpose(out_t.reshape(c, ho, wo, n), (3, 1, 2, 0))
+
+
+def _bwd_chwn_strip_kernel(xp_ref, wp_ref, dyp_ref, dx_ref, dw_ref, *, kh,
+                           kw, dh, dw, gs, hs, wo, hi, wi, lh, lw):
+    """Stage-1 fused dx+dw with H-strips: xp/wp/dyp fully resident per
+    (cw,) block; dx/dw written strip-wise with dynamic H offsets."""
+    i = pl.program_id(1)
+    out_dtype = dx_ref.dtype
+    for gi in range(gs):
+        acc = None
+        for ikh in range(kh):
+            for ikw in range(kw):
+                sh = (kh - 1) * dh - ikh * dh
+                sw = (kw - 1) * dw - ikw * dw
+                dys = dyp_ref[gi, 0, pl.dslice(i * hs + sh, hs),
+                              sw:sw + wi, :].astype(jnp.float32)
+                wk = wp_ref[0, ikh * kw + ikw, pl.dslice(i * hs + sh, hs),
+                            sw:sw + wi, :].astype(jnp.float32)
+                tap = dys * wk
+                acc = tap if acc is None else acc + tap
+        dx_ref[gi, 0] = acc.astype(out_dtype)
+    dw_dtype = dw_ref.dtype
+    for ikh in range(kh):
+        for ikw in range(kw):
+            k = ikh * kw + ikw
+            red = None
+            for gi in range(gs):
+                xs = xp_ref[gi, 0, pl.dslice(i * hs + ikh * dh, hs),
+                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
+                dys = dyp_ref[gi, 0, pl.dslice(i * hs + lh, hs),
+                              lw:lw + wo, :].astype(jnp.float32)
+                t = xs * dys
+                red = t if red is None else red + t
+            dw_ref[0, 0, k] = red.astype(dw_dtype)
+
+
+def bwd_chwn_strip(x, w, dy, pad, hs=8):
+    """Stage-1 fused dx+dw, H-strips, full-G reduction per strip (g small
+    at stage 1: dim 64 -> g=8, per-g blocks are 0.9 MB)."""
+    n, hi, wi, c = x.shape
+    _, ho, wo, heads, k2, cw = w.shape
+    g = c // cw
+    hp, wp = hi + 2 * pad, wi + 2 * pad
+    lh = (K - 1) * D - pad
+    lw = lh
+    he, we = ho + 2 * lh, wo + 2 * lw
+    assert hi % hs == 0
+    xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)])
+    xt = jnp.transpose(xp, (3, 1, 2, 0)).reshape(g, cw, hp, wp, n)
+    dyp = jnp.pad(dy, [(0, 0), (lh, lh), (lw, lw), (0, 0)])
+    dyt = jnp.transpose(dyp, (3, 1, 2, 0)).reshape(g, cw, he, we, n)
+    wpad = jnp.pad(w[:, :, :, 0], [(0, 0), (lh, lh), (lw, lw), (0, 0),
+                                   (0, 0)])
+    wt = jnp.transpose(wpad, (4, 3, 1, 2, 0))
+    kern = functools.partial(_bwd_chwn_strip_kernel, kh=K, kw=K, dh=D, dw=D,
+                             gs=g, hs=hs, wo=wo, hi=hi, wi=wi, lh=lh, lw=lw)
+    dx_t, dw_t = _call(
+        kern,
+        grid=(cw, hi // hs),
+        in_specs=[
+            pl.BlockSpec((g, 1, hp, wp, n), lambda i, j: (0, i, 0, 0, 0)),
+            pl.BlockSpec((1, k2, he, we, n), lambda i, j: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((g, 1, he, we, n), lambda i, j: (0, i, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, 1, hs, wi, n), lambda i, j: (0, i, j, 0, 0)),
+            pl.BlockSpec((1, 1, k2, hs, wo, n),
+                         lambda i, j: (0, i, 0, j, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, cw, hi, wi, n), x.dtype),
+            jax.ShapeDtypeStruct((1, cw, k2, ho, wo, n), w.dtype),
+        ],
+    )(xt, wt, dyt)
+    dx = jnp.transpose(dx_t.reshape(c, hi, wi, n), (3, 1, 2, 0))
+    dw = jnp.transpose(dw_t[0], (4, 2, 3, 1, 0))[:, :, :, None]
+    return dx, dw
+
+
+def run_stage1(n, h, c, hs=8, dtype=jnp.bfloat16):
+    """Stage-1 shootout: XLA incumbent (what ships at 56x56) vs the CHWN
+    H-strip forms."""
+    cw = c // 8
+    pad = K // 2
+    kx, kw_, kd = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(kx, (n, h, h, c), dtype)
+    w = jax.random.normal(kw_, (n, h, h, 1, K * K, cw), dtype)
+    dy = jax.random.normal(kd, (n, h, h, c), dtype)
+    agg = functools.partial(local_aggregate, kernel_size=K, stride=1,
+                            padding=pad, dilation=D)
+
+    ref = jax.jit(functools.partial(agg, impl="auto"))(x, w)
+    got = jax.jit(functools.partial(fwd_chwn_strip, pad=pad, hs=hs))(x, w)
+    err = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
+                                - got.astype(jnp.float32))))
+    print(f"[{h}x{h}x{c} n{n} hs{hs}] fwd strip parity maxerr {err:.3e}",
+          flush=True)
+    t_ship = chain_time(lambda xx: agg(xx, w, impl="auto"), x)
+    t_chwn = chain_time(lambda xx: fwd_chwn_strip(xx, w, pad, hs), x)
+    print(f"[{h}x{h}x{c} n{n} hs{hs}] FWD shipped {t_ship*1e3:7.3f} ms | "
+          f"chwn-strip {t_chwn*1e3:7.3f} ms | ratio {t_ship/t_chwn:5.2f}x",
+          flush=True)
+
+    def ship_pair(dy_):
+        f = lambda xx, ww: agg(xx, ww, impl="auto")
+        _, vjp = jax.vjp(f, x, w)
+        return vjp(dy_)
+
+    dxr, dwr = jax.jit(ship_pair)(dy)
+    dxg, dwg = jax.jit(
+        functools.partial(bwd_chwn_strip, pad=pad, hs=hs))(x, w, dy)
+    e_dx = float(jnp.max(jnp.abs(dxr.astype(jnp.float32)
+                                 - dxg.astype(jnp.float32))))
+    e_dw = float(jnp.max(jnp.abs(dwr.astype(jnp.float32)
+                                 - dwg.astype(jnp.float32))))
+    print(f"[{h}x{h}x{c} n{n} hs{hs}] bwd strip parity dx {e_dx:.3e} "
+          f"dw {e_dw:.3e}", flush=True)
+    t_ship = chain_time(ship_pair, dy)
+    t_chwn = chain_time(lambda dd: bwd_chwn_strip(x, w, dd, pad, hs), dy)
+    print(f"[{h}x{h}x{c} n{n} hs{hs}] BWD shipped {t_ship*1e3:7.3f} ms | "
+          f"chwn-strip {t_chwn*1e3:7.3f} ms | ratio {t_ship/t_chwn:5.2f}x",
+          flush=True)
+
+
 def run_transpose(n, h, c):
     """Boundary-transpose cost in isolation: the NHWC->CHWN pad+transpose
     of x, the w transpose, and the CHWN->NHWC out transpose — the bytes a
@@ -439,6 +609,12 @@ if __name__ == "__main__":
            "28n64": (64, 28, 128), "14n64": (64, 14, 256)}
     print(f"devices: {jax.devices()}", flush=True)
     for s in stages:
+        if mode == "s1":
+            # stage-1 H-strip forms: s is the strip height
+            geo1 = {"tiny": (8, 8, 16)}
+            n, h, c = geo1.get(s, (128, 56, 64))
+            run_stage1(n, h, c, hs=int(s) if s.isdigit() else 4)
+            continue
         n, h, c = geo[s]
         if mode == "trans":
             run_transpose(n, h, c)

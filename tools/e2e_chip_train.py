@@ -21,9 +21,15 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 80
 OUT = sys.argv[2] if len(sys.argv) > 2 else None
 BS, SIZE = 128, 224
+# rand-m9 (the timm default magnitude), not the 350-epoch recipe's m15:
+# at 40-80 steps the m15 + mixup combination keeps the loss pinned at its
+# augmentation floor (r5 first attempt: 2.217 -> 2.202 over 40 steps) —
+# the short-run artifact needs an augmentation level the run length can
+# learn through, and m9 is still the full production code path
+AA = os.environ.get("E2E_AA", "rand-m9-mstd0.5-n2")
 
 
 def _bounds():
@@ -73,7 +79,7 @@ def main():
     n_classes = len(ds.class_to_idx)
     loader = Loader(ds, BS, train=True, image_size=SIZE,
                     workers=os.cpu_count(),
-                    auto_augment="rand-m15-mstd0.5-n2", reprob=0.0,
+                    auto_augment=AA, reprob=0.0,
                     dtype=jnp.bfloat16)
     model = create_model("cotnet50", num_classes=n_classes,
                          dtype=jnp.bfloat16)
@@ -83,7 +89,7 @@ def main():
     steps_per_epoch = 768 // BS
     epochs = max(1, STEPS // steps_per_epoch)
     schedule_fn, _ = create_scheduler(
-        dict(sched="cosine", epochs=epochs, lr=0.1, warmup_epochs=1,
+        dict(sched="cosine", epochs=epochs, lr=0.15, warmup_epochs=1,
              warmup_lr=1e-4, min_lr=1e-5), steps_per_epoch=steps_per_epoch)
     tx = create_optimizer(
         dict(opt="sgd", momentum=0.9, weight_decay=4e-5), schedule_fn)
@@ -140,7 +146,7 @@ def main():
     tail = sum(losses[-5:]) / 5
     res = {
         "model": "cotnet50", "image_size": SIZE, "batch_size": BS,
-        "steps": STEPS, "host_cores": os.cpu_count(),
+        "steps": STEPS, "aa": AA, "host_cores": os.cpu_count(),
         "platform": jax.default_backend(),
         "e2e_imgs_per_sec": round(n_done / wall, 1),
         "loss_first5_mean": round(head, 4),
@@ -159,15 +165,15 @@ def main():
                     "(production fetches at log intervals only)",
         },
     }
+    print(json.dumps(res, indent=1), flush=True)
+    if OUT:  # write the artifact BEFORE asserting so failures are data
+        with open(OUT, "w") as f:
+            json.dump(res, f, indent=1)
     assert all(map(lambda v: v == v and abs(v) < 1e9, losses)), losses
     assert tail < head - 0.05, (
         f"no convincing learning: first5={head:.4f} last5={tail:.4f}")
     assert top1 >= 2 * 100.0 / n_classes, (
         f"eval not above chance: {top1:.1f}% vs {100.0 / n_classes:.1f}%")
-    print(json.dumps(res, indent=1), flush=True)
-    if OUT:
-        with open(OUT, "w") as f:
-            json.dump(res, f, indent=1)
 
 
 if __name__ == "__main__":
