@@ -282,8 +282,13 @@ CHWN_DISPATCH = _os.environ.get("COTNET_CHWN", "1") == "1"
 # emits [Cw, K2, H, W, N] directly (channel-major matmul + CHWN GroupNorm)
 # and dw returns in the same layout, deleting the w/dw boundary transposes
 # — the largest tensors crossing the layout boundary.  r5 on-chip A/B
-# (tools/train_ab_bench.py COTNET_CHWN_W=1, cotnet50 bs128 bf16 train):
-# see STATUS.md r5 section for the measured verdict that set this default.
+# (tools/train_ab_bench.py, cotnet50 bs128 bf16): MEASURED OFF — train
+# 92.66 -> 93.17 ms/step.  The r5 trace explains why: XLA fuses the
+# in-graph boundary transposes into adjacent fusions (~3.1 ms/step of
+# data-formatting TOTAL), so deleting the w transpose only trades it for
+# the half-width activation transpose + a separately-scheduled matmul.
+# Kept gated + parity-tested (tests/test_local_agg.py) as the documented
+# alternative formulation.
 CHWN_W = _os.environ.get("COTNET_CHWN_W", "0") == "1"
 # tests lift the N-fills-lanes gate to exercise the kernels at toy sizes
 CHWN_ANY_N = _os.environ.get("COTNET_CHWN_ANY_N", "0") == "1"

@@ -443,79 +443,101 @@ def fwd_chwn_strip(x, w, pad, hs=8):
 
 
 def _bwd_chwn_strip_kernel(xp_ref, wp_ref, dyp_ref, dx_ref, dw_ref, *, kh,
-                           kw, dh, dw, gs, hs, wo, hi, wi, lh, lw):
-    """Stage-1 fused dx+dw with H-strips: xp/wp/dyp fully resident per
-    (cw,) block; dx/dw written strip-wise with dynamic H offsets."""
-    i = pl.program_id(1)
+                           kw, dh, dw, hs, wo, wi, lh, lw):
+    """Stage-1 fused dx+dw, H-strips, per-(cw, g, strip) grid: every input
+    arrives as a PRE-MATERIALIZED overlapping strip (rows
+    [j*hs : j*hs + hs + 2lh] duplicated by XLA — Pallas double-buffers
+    each block, so a full-H wp block alone blows scoped VMEM 2x over).
+    All offsets static.  dw written as per-g f32 partials, folded outside."""
     out_dtype = dx_ref.dtype
-    for gi in range(gs):
-        acc = None
-        for ikh in range(kh):
-            for ikw in range(kw):
-                sh = (kh - 1) * dh - ikh * dh
-                sw = (kw - 1) * dw - ikw * dw
-                dys = dyp_ref[gi, 0, pl.dslice(i * hs + sh, hs),
-                              sw:sw + wi, :].astype(jnp.float32)
-                wk = wp_ref[0, ikh * kw + ikw, pl.dslice(i * hs + sh, hs),
-                            sw:sw + wi, :].astype(jnp.float32)
-                tap = dys * wk
-                acc = tap if acc is None else acc + tap
-        dx_ref[gi, 0] = acc.astype(out_dtype)
+    acc = None
+    for ikh in range(kh):
+        for ikw in range(kw):
+            sh = (kh - 1) * dh - ikh * dh
+            sw = (kw - 1) * dw - ikw * dw
+            dys = dyp_ref[0, 0, 0, sh:sh + hs,
+                          sw:sw + wi, :].astype(jnp.float32)
+            wk = wp_ref[0, 0, ikh * kw + ikw, sh:sh + hs,
+                        sw:sw + wi, :].astype(jnp.float32)
+            tap = dys * wk
+            acc = tap if acc is None else acc + tap
+    dx_ref[0, 0] = acc.astype(out_dtype)
     dw_dtype = dw_ref.dtype
     for ikh in range(kh):
         for ikw in range(kw):
             k = ikh * kw + ikw
-            red = None
-            for gi in range(gs):
-                xs = xp_ref[gi, 0, pl.dslice(i * hs + ikh * dh, hs),
-                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
-                dys = dyp_ref[gi, 0, pl.dslice(i * hs + lh, hs),
-                              lw:lw + wo, :].astype(jnp.float32)
-                t = xs * dys
-                red = t if red is None else red + t
-            dw_ref[0, 0, k] = red.astype(dw_dtype)
+            xs = xp_ref[0, 0, 0, ikh * dh:ikh * dh + hs,
+                        ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
+            dys = dyp_ref[0, 0, 0, lh:lh + hs,
+                          lw:lw + wo, :].astype(jnp.float32)
+            dw_ref[0, 0, k] = (xs * dys).astype(dw_dtype)
+
+
+def _h_strips(t, axis, hs, halo, nh):
+    """Stack overlapping H-strips [j*hs : j*hs + hs + 2*halo] along a new
+    leading-at-`axis` dim (XLA copies; bytes x (hs+2*halo)/hs)."""
+    sl = [slice(None)] * t.ndim
+    parts = []
+    for j in range(nh):
+        sl[axis] = slice(j * hs, j * hs + hs + 2 * halo)
+        parts.append(t[tuple(sl)])
+    return jnp.stack(parts, axis=0)
 
 
 def bwd_chwn_strip(x, w, dy, pad, hs=8):
-    """Stage-1 fused dx+dw, H-strips, full-G reduction per strip (g small
-    at stage 1: dim 64 -> g=8, per-g blocks are 0.9 MB)."""
+    """Stage-1 fused dx+dw, H-strips, per-group grid; dw partials summed
+    over g in f32 outside the launch."""
     n, hi, wi, c = x.shape
     _, ho, wo, heads, k2, cw = w.shape
     g = c // cw
-    hp, wp = hi + 2 * pad, wi + 2 * pad
     lh = (K - 1) * D - pad
     lw = lh
-    he, we = ho + 2 * lh, wo + 2 * lw
-    assert hi % hs == 0
+    assert hi % hs == 0 and pad == lh, (hi, hs, pad, lh)
+    nh = hi // hs
+    hw = hs + 2 * lh
     xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)])
-    xt = jnp.transpose(xp, (3, 1, 2, 0)).reshape(g, cw, hp, wp, n)
+    xt = jnp.transpose(xp, (3, 1, 2, 0)).reshape(g, cw, hi + 2 * pad,
+                                                 wi + 2 * pad, n)
     dyp = jnp.pad(dy, [(0, 0), (lh, lh), (lw, lw), (0, 0)])
-    dyt = jnp.transpose(dyp, (3, 1, 2, 0)).reshape(g, cw, he, we, n)
+    dyt = jnp.transpose(dyp, (3, 1, 2, 0)).reshape(g, cw, ho + 2 * lh,
+                                                   wo + 2 * lw, n)
     wpad = jnp.pad(w[:, :, :, 0], [(0, 0), (lh, lh), (lw, lw), (0, 0),
                                    (0, 0)])
     wt = jnp.transpose(wpad, (4, 3, 1, 2, 0))
+    # -> [NH, G, Cw, hs+2lh, Wp, N] / [NH, Cw, K2, hs+2lh, We, N]
+    xs_t = _h_strips(xt, 2, hs, lh, nh)
+    dys_t = _h_strips(dyt, 2, hs, lh, nh)
+    ws_t = _h_strips(wt, 2, hs, lh, nh)
+    we = wo + 2 * lw
+    wp_ = wi + 2 * pad
     kern = functools.partial(_bwd_chwn_strip_kernel, kh=K, kw=K, dh=D, dw=D,
-                             gs=g, hs=hs, wo=wo, hi=hi, wi=wi, lh=lh, lw=lw)
+                             hs=hs, wo=wo, wi=wi, lh=lh, lw=lw)
     dx_t, dw_t = _call(
         kern,
-        grid=(cw, hi // hs),
+        grid=(cw, g, nh),
         in_specs=[
-            pl.BlockSpec((g, 1, hp, wp, n), lambda i, j: (0, i, 0, 0, 0)),
-            pl.BlockSpec((1, k2, he, we, n), lambda i, j: (i, 0, 0, 0, 0)),
-            pl.BlockSpec((g, 1, he, we, n), lambda i, j: (0, i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, hw, wp_, n),
+                         lambda i, s, j: (j, s, i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, k2, hw, we, n),
+                         lambda i, s, j: (j, i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, hw, we, n),
+                         lambda i, s, j: (j, s, i, 0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((g, 1, hs, wi, n), lambda i, j: (0, i, j, 0, 0)),
+            pl.BlockSpec((1, 1, hs, wi, n),
+                         lambda i, s, j: (s, i, j, 0, 0)),
             pl.BlockSpec((1, 1, k2, hs, wo, n),
-                         lambda i, j: (0, i, 0, j, 0, 0)),
+                         lambda i, s, j: (s, i, 0, j, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((g, cw, hi, wi, n), x.dtype),
-            jax.ShapeDtypeStruct((1, cw, k2, ho, wo, n), w.dtype),
+            # f32 partials: per-g rounding would otherwise stack 8 deep
+            jax.ShapeDtypeStruct((g, cw, k2, ho, wo, n), jnp.float32),
         ],
-    )(xt, wt, dyt)
+    )(xs_t, ws_t, dys_t)
     dx = jnp.transpose(dx_t.reshape(c, hi, wi, n), (3, 1, 2, 0))
-    dw = jnp.transpose(dw_t[0], (4, 2, 3, 1, 0))[:, :, :, None]
+    dw_s = jnp.sum(dw_t, axis=0).astype(w.dtype)
+    dw = jnp.transpose(dw_s, (4, 2, 3, 1, 0))[:, :, :, None]
     return dx, dw
 
 
