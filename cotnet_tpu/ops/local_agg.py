@@ -292,14 +292,17 @@ def local_aggregate(
     )
     if use_pallas and stride == (1, 1):
         from cotnet_tpu.ops.local_agg_pallas import (
-            agg_core_pallas, agg_core_pallas_affine, pallas_plan)
+            agg_core_pallas, agg_core_pallas_affine, chwn_strip_plan,
+            pallas_plan)
 
         if pad_mode == "zeros":
             # zero padding fuses into the kernel (VMEM memset+copy)
             if w_scale is not None:
                 plan = pallas_plan(x.shape, w.shape, x.dtype.itemsize,
                                    padding, affine=True)
-                if plan is not None and plan[0] == "whole":
+                if ((plan is not None and plan[0] == "whole")
+                        or chwn_strip_plan(x.shape, w.shape,
+                                           x.dtype.itemsize, padding)):
                     return agg_core_pallas_affine(
                         x, w, w_scale, w_bias, kernel_size, dilation, padding)
                 # strip/wloop flavors have no affine fold: pre-apply (same
@@ -307,7 +310,9 @@ def local_aggregate(
                 if pallas_plan(x.shape, w.shape, x.dtype.itemsize, padding):
                     return agg_core_pallas(x, _apply_affine(w), kernel_size,
                                            dilation, padding)
-            elif pallas_plan(x.shape, w.shape, x.dtype.itemsize, padding):
+            elif (pallas_plan(x.shape, w.shape, x.dtype.itemsize, padding)
+                  or chwn_strip_plan(x.shape, w.shape, x.dtype.itemsize,
+                                     padding)):
                 return agg_core_pallas(x, w, kernel_size, dilation, padding)
         else:
             xp = _pad_input(x, padding, dilation, pad_mode)

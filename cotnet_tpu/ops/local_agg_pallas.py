@@ -1010,6 +1010,112 @@ def _dxdw_chwn_kernel(xp_ref, wp_ref, dyp_ref, dx_ref, dw_ref, *, kh, kw,
             dw_ref[0, 0, k] = red.astype(dw_dtype)
 
 
+def chwn_strip_plan(x_shape, w_shape, itemsize, padding):
+    """Strip height ``hs`` for the CHWN H-strip FORWARD, or None.
+
+    The fallback for shapes the whole-image CHWN plan excludes on VMEM —
+    stage 1 (56x56), where the K2 weight block alone is ~8 MB.  Keeps the
+    per-(cw, g) x block fully resident (0.9 MB at 56x56x128n) and strips
+    w/out on H with dynamic offsets.  Measured (r5, tools/chwn_bench.py s1,
+    chained A/B bf16 bs128 56x56x64): fwd 2.78-2.90 -> 2.09-2.26 ms =
+    1.25-1.33x over the shipped XLA formulation across hs in {4, 8, 14};
+    the fused dx+dw strip BACKWARD measured 0.72x (strip-duplication
+    traffic + per-g grid overhead), so the backward stays on the XLA VJP
+    (see _agg_bwd_rule).  K2 > 9 excluded: the K=7 taps (SAN/LR-Net
+    variants) blow Mosaic compile time (r2 finding) and are unmeasured."""
+    if not CHWN_DISPATCH:
+        return None
+    n, hi, wi, c = x_shape
+    _, ho, wo, heads, k2, cw = w_shape
+    if heads != 1 or c % cw or k2 > 9:
+        return None
+    if ho * wo < CHWN_MIN_MAP and not (CHWN_ANY_N and _use_interpret()):
+        return None
+    if n % 128 != 0 and not (CHWN_ANY_N and _use_interpret()):
+        return None
+    if chwn_plan(x_shape, w_shape, itemsize, padding) is not None:
+        return None  # whole-image CHWN dispatches first where it fits
+    hp, wp = hi + 2 * padding[0], wi + 2 * padding[1]
+
+    def fits(hs):
+        xb = _tiled_bytes((1, 1, hp, wp, n), itemsize)
+        wb = _tiled_bytes((1, k2, hs, wo, n), itemsize)
+        ob = _tiled_bytes((1, 1, hs, wo, n), itemsize)
+        temps = (k2 + 2) * _tiled_bytes((1, 1, hs, wo, n), 4)
+        # x2: Pallas double-buffers every in/out block
+        return 2 * (xb + wb + ob) + temps <= _CHWN_BUDGET_BYTES
+
+    for hs in (8, 7, 4, 2):
+        if ho % hs == 0 and fits(hs):
+            return hs
+    return None
+
+
+def _fwd_chwn_strip_kernel(xp_ref, w_ref, s_ref, b_ref, out_ref, *, kh, kw,
+                           dh, dw, hs, wo):
+    """CHWN H-strip forward: per-(cw, g, strip) grid; the xp block is the
+    full padded image for ONE (g, cw) slice, w/out are H-strips.  H offsets
+    dynamic (program_id), W offsets static.  Optional affine (GN fold)."""
+    j = pl.program_id(2)
+    out_dtype = out_ref.dtype
+    acc = None
+    for ikh in range(kh):
+        for ikw in range(kw):
+            k = ikh * kw + ikw
+            xs = xp_ref[0, 0, pl.dslice(j * hs + ikh * dh, hs),
+                        ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
+            wk = w_ref[0, k].astype(jnp.float32)
+            if s_ref is not None:
+                wk = wk * s_ref[0, k] + b_ref[0, k]
+            tap = xs * wk
+            acc = tap if acc is None else acc + tap
+    out_ref[0, 0] = acc.astype(out_dtype)
+
+
+def _agg_fwd_chwn_strip(x, w, s, b, geo, padding, hs):
+    """Dispatch the CHWN H-strip forward (stage-1 shapes)."""
+    n, hi, wi, c = x.shape
+    _, ho, wo, _, k2, cw = w.shape
+    g = c // cw
+    hp, wp = hi + 2 * geo["ph"], wi + 2 * geo["pw"]
+    xt = _to_chwn(x, g, cw, geo["ph"], geo["pw"])
+    wt = _w_to_chwn(w)
+    affine = s is not None
+    ins = [xt, wt]
+    in_specs = [
+        pl.BlockSpec((1, 1, hp, wp, n), lambda i, sp, j: (sp, i, 0, 0, 0)),
+        pl.BlockSpec((1, k2, hs, wo, n), lambda i, sp, j: (i, 0, j, 0, 0)),
+    ]
+    if affine:
+        def aff_t(a):
+            return jnp.transpose(a[:, 0].astype(jnp.float32),
+                                 (2, 1, 0))[:, :, None, None, :]
+        ins += [aff_t(s), aff_t(b)]
+        in_specs += [pl.BlockSpec((1, k2, 1, 1, n),
+                                  lambda i, sp, j: (i, 0, 0, 0, 0))] * 2
+    kern = functools.partial(
+        _fwd_chwn_strip_kernel if affine else
+        (lambda xr, wr, outr, **kw_: _fwd_chwn_strip_kernel(
+            xr, wr, None, None, outr, **kw_)),
+        kh=geo["kh"], kw=geo["kw"], dh=geo["dh"], dw=geo["dw"], hs=hs,
+        wo=wo)
+    out_t = pl.pallas_call(
+        kern,
+        grid=(cw, g, ho // hs),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, hs, wo, n),
+                               lambda i, sp, j: (sp, i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, cw, ho, wo, n), x.dtype),
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * ho * wo * geo["kh"] * geo["kw"] * c,
+            bytes_accessed=(x.size + wt.size + n * ho * wo * c)
+            * x.dtype.itemsize,
+            transcendentals=0),
+    )(*ins)
+    return _from_chwn(out_t)
+
+
 def _to_chwn(x, g, cw, pad_h=0, pad_w=0):
     """[N, H, W, C] -> [G, Cw, H(+2ph), W(+2pw), N] (pad, then XLA tiled
     transpose; the C->(G, Cw) split is a free reshape because cw is the
@@ -1193,6 +1299,9 @@ def _agg_fwd_impl(x, w, kernel_size, dilation, padding):
     cp = chwn_plan(x.shape, w.shape, x.dtype.itemsize, padding)
     if cp is not None:
         return _agg_fwd_chwn(x, w, None, None, geo, padding, cp[0])
+    sp = chwn_strip_plan(x.shape, w.shape, x.dtype.itemsize, padding)
+    if sp is not None:
+        return _agg_fwd_chwn_strip(x, w, None, None, geo, padding, sp)
     wf = _flat_weight(w)
     plan = pallas_plan(x.shape, w.shape, x.dtype.itemsize, padding)
     assert plan is not None, "caller must gate on pallas_plan"
@@ -1270,8 +1379,23 @@ def _agg_bwd_rule(kernel_size, dilation, padding, res, dy):
     cp = chwn_plan(x.shape, w.shape, x.dtype.itemsize, padding)
     if cp is not None:
         return _agg_bwd_chwn(x, w, dy, geo, padding, cp[1])
-    wf = _flat_weight(w)
     plan = pallas_plan(x.shape, w.shape, x.dtype.itemsize, padding)
+    if (plan is None and
+            chwn_strip_plan(x.shape, w.shape, x.dtype.itemsize,
+                            padding) is not None):
+        # the CHWN H-strip plan covers the FORWARD only: its fused dx+dw
+        # strip form measured 0.72x vs the XLA VJP (r5, chwn_bench s1 —
+        # strip-duplication traffic + per-g grid overhead), so both grads
+        # ride the XLA formulation here
+        from cotnet_tpu.ops import local_agg as _la
+
+        def _xla_fwd2(xx, ww):
+            xxp = jnp.pad(xx, ((0, 0), (geo["ph"], geo["ph"]),
+                               (geo["pw"], geo["pw"]), (0, 0)))
+            return _la._agg_core_xla(xxp, ww, kernel_size, (1, 1), dilation)
+
+        return jax.vjp(_xla_fwd2, x, w)[1](dy)
+    wf = _flat_weight(w)
     assert plan is not None
     if plan[0] == "wloop":
         # dx via the XLA transpose (as with strips: the dx gather form
@@ -1532,6 +1656,9 @@ def _agg_affine_fwd_impl(x, w, s, b, kernel_size, dilation, padding):
     cp = chwn_plan(x.shape, w.shape, x.dtype.itemsize, padding)
     if cp is not None:
         return _agg_fwd_chwn(x, w, s, b, geo, padding, cp[0])
+    sp = chwn_strip_plan(x.shape, w.shape, x.dtype.itemsize, padding)
+    if sp is not None:
+        return _agg_fwd_chwn_strip(x, w, s, b, geo, padding, sp)
     wf = _flat_weight(w)
     sf, bf = _flat_affine(s), _flat_affine(b)
     plan = pallas_plan(x.shape, w.shape, x.dtype.itemsize, padding,
@@ -1567,10 +1694,25 @@ def _agg_affine_bwd_rule(kernel_size, dilation, padding, res, dy):
     n, hi, wi, c = x.shape
     ho, wo, heads = geo["ho"], geo["wo"], geo["heads"]
     hp, wp = hi + 2 * geo["ph"], wi + 2 * geo["pw"]
-    wf = _flat_weight(w)
-    sf, bf = _flat_affine(s), _flat_affine(b)
     plan = pallas_plan(x.shape, w.shape, x.dtype.itemsize, padding,
                        affine=True)
+    if ((plan is None or plan[0] != "whole")
+            and chwn_strip_plan(x.shape, w.shape, x.dtype.itemsize,
+                                padding) is not None):
+        # strip-plan shapes (stage 1) differentiate via the XLA affine
+        # formulation (the strip kernels cover the forward only; the
+        # affine-train path is gated off by default anyway)
+        from cotnet_tpu.ops import local_agg as _la
+
+        def _xla_aff(xx, ww, ss, bb):
+            xxp = jnp.pad(xx, ((0, 0), (geo["ph"], geo["ph"]),
+                               (geo["pw"], geo["pw"]), (0, 0)))
+            return _la._agg_core_xla(xxp, ww, kernel_size, (1, 1), dilation,
+                                     ss, bb)
+
+        return jax.vjp(_xla_aff, x, w, s, b)[1](dy)
+    wf = _flat_weight(w)
+    sf, bf = _flat_affine(s), _flat_affine(b)
     assert plan is not None and plan[0] == "whole"
     # bwd picks its own packing: the dw kernel's extra raw-weight block
     # must not shrink the forward's m

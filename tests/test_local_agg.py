@@ -793,3 +793,57 @@ def test_chwn_resident_weights():
             lambda a, b: a.shape == b.shape and a.dtype == b.dtype, v0, v1))
     finally:
         lap.CHWN_DISPATCH, lap.CHWN_ANY_N, lap.CHWN_W = old
+
+
+def test_chwn_strip_stage1_dispatch():
+    """The CHWN H-strip forward (the stage-1 win: fwd 1.28x on chip, bwd
+    stays on the XLA VJP by measurement): parity vs the XLA formulation
+    for fwd, grads, and the affine (GN-fold) form, exercised by forcing
+    the whole-image plans off so the strip plan dispatches."""
+    import cotnet_tpu.ops.local_agg_pallas as lap
+
+    old = (lap.CHWN_DISPATCH, lap.CHWN_ANY_N, lap.chwn_plan,
+           lap.pallas_plan)
+    try:
+        lap.CHWN_DISPATCH = True
+        lap.CHWN_ANY_N = True
+        lap.chwn_plan = lambda *a, **k: None      # force whole-image off
+        lap.pallas_plan = lambda *a, **k: None    # force NHWC plans off
+        n, h, c, cw, k = 4, 8, 16, 2, 3
+        xs = (n, h, h, c)
+        ws = (n, h, h, 1, k * k, cw)
+        sp = lap.chwn_strip_plan(xs, ws, 4, (1, 1))
+        assert sp is not None and h % sp == 0, sp
+        ks = jax.random.split(jax.random.PRNGKey(0), 5)
+        x = jax.random.normal(ks[0], xs, jnp.float32)
+        w = jax.random.normal(ks[1], ws, jnp.float32)
+        dy = jax.random.normal(ks[2], xs, jnp.float32)
+
+        ref = local_aggregate(x, w, kernel_size=k, padding=1, impl="xla")
+        got = local_aggregate(x, w, kernel_size=k, padding=1, impl="pallas")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
+        def f(impl):
+            return lambda x_, w_: jnp.vdot(local_aggregate(
+                x_, w_, kernel_size=k, padding=1, impl=impl), dy)
+
+        ga = jax.grad(f("xla"), (0, 1))(x, w)
+        gb = jax.grad(f("pallas"), (0, 1))(x, w)
+        for name, a, b in zip("xw", ga, gb):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-5, err_msg=name)
+
+        # affine (GN fold) strip form == aggregation of the materialized
+        # normalized weight
+        s = jax.random.normal(ks[3], (n, 1, k * k, cw), jnp.float32)
+        b = jax.random.normal(ks[4], (n, 1, k * k, cw), jnp.float32)
+        got_a = local_aggregate(x, w, kernel_size=k, padding=1,
+                                impl="pallas", w_scale=s, w_bias=b)
+        wn = w * s[:, None, None] + b[:, None, None]
+        ref_a = local_aggregate(x, wn, kernel_size=k, padding=1, impl="xla")
+        np.testing.assert_allclose(np.asarray(got_a), np.asarray(ref_a),
+                                   atol=2e-4)
+    finally:
+        (lap.CHWN_DISPATCH, lap.CHWN_ANY_N, lap.chwn_plan,
+         lap.pallas_plan) = old
