@@ -1386,13 +1386,14 @@ def _agg_bwd_rule(kernel_size, dilation, padding, res, dy):
         # the CHWN H-strip plan covers the FORWARD only: its fused dx+dw
         # strip form measured 0.72x vs the XLA VJP (r5, chwn_bench s1 —
         # strip-duplication traffic + per-g grid overhead), so both grads
-        # ride the XLA formulation here
+        # ride the gather-VJP XLA formulation (the tuned stage-1 training
+        # backward this shape used before strips shipped)
         from cotnet_tpu.ops import local_agg as _la
 
         def _xla_fwd2(xx, ww):
             xxp = jnp.pad(xx, ((0, 0), (geo["ph"], geo["ph"]),
                                (geo["pw"], geo["pw"]), (0, 0)))
-            return _la._agg_core_xla(xxp, ww, kernel_size, (1, 1), dilation)
+            return _la._agg_xla_stride1(xxp, ww, kernel_size, dilation)
 
         return jax.vjp(_xla_fwd2, x, w)[1](dy)
     wf = _flat_weight(w)
