@@ -53,14 +53,37 @@ def _bounds():
     return host, chip
 
 
-def main():
-    from tools.loader_bench import make_corpus
+def make_color_corpus(root, n):
+    """ImageNet-decode-cost JPEGs whose classes are separable by COLOR —
+    a cue that survives RandomResizedCrop(0.08..1.0) + RandAugment + mixup
+    (the r5 sine-frequency corpus was crop-hostile: after 80 steps the
+    model had converged exactly to the uniform output, top-1 == chance).
+    Same 500x375 q87 geometry as loader_bench's rate corpus."""
+    import numpy as np
+    from PIL import Image
 
-    root = "/tmp/loader_bench_imgs"
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(0)
+    hues = [(210, 60, 60), (60, 210, 60), (60, 60, 210), (200, 200, 50),
+            (50, 200, 200), (200, 50, 200), (230, 140, 40), (120, 120, 120)]
+    yy, xx = np.mgrid[0:375, 0:500].astype(np.float32)
+    texture = 25 * np.sin(xx / 23) + 20 * np.cos(yy / 17)
+    for c in range(8):
+        d = os.path.join(root, f"class{c}")
+        os.makedirs(d, exist_ok=True)
+        for i in range(n // 8):
+            img = np.stack([hues[c][k] + texture for k in range(3)], -1)
+            img += rng.normal(0, 14, img.shape)
+            Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
+                os.path.join(d, f"img{i:05d}.jpg"), quality=87)
+
+
+def main():
+    root = "/tmp/e2e_color_imgs"
     marker = os.path.join(root, ".done768")
     if not os.path.exists(marker):
-        avg = make_corpus(root, 768)
-        open(marker, "w").write(str(avg))
+        make_color_corpus(root, 768)
+        open(marker, "w").write("1")
 
     import jax
     import jax.numpy as jnp

@@ -13,9 +13,15 @@ import glob
 import os
 import sys
 
+_model_name, _bs = "cotnet50", 128
 for kv in sys.argv[1:]:
     k, v = kv.split("=", 1)
-    os.environ[k] = v
+    if k == "model":
+        _model_name = v
+    elif k == "bs":
+        _bs = int(v)
+    else:
+        os.environ[k] = v
 
 sys.path.insert(0, "/root/repo")
 import jax
@@ -25,8 +31,8 @@ from jax import lax
 
 from cotnet_tpu.models import create_model
 
-B, S, ITERS = 128, 224, 8
-model = create_model("cotnet50", dtype=jnp.bfloat16)
+B, S, ITERS = _bs, 224, 8
+model = create_model(_model_name, dtype=jnp.bfloat16)
 x = jnp.ones((B, S, S, 3), jnp.bfloat16)
 labels = jnp.arange(B) % 1000
 shapes = jax.eval_shape(
