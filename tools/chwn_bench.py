@@ -415,27 +415,30 @@ def _fwd_chwn_strip_kernel(xp_ref, w_ref, out_ref, *, kh, kw, dh, dw, gs,
         out_ref[gi, 0] = acc.astype(out_dtype)
 
 
-def fwd_chwn_strip(x, w, pad, hs=8):
-    """CHWN forward with H-strips for the 56x56 stage-1 geometry."""
+def fwd_chwn_strip(x, w, pad, hs=8, gs=1):
+    """CHWN forward with H-strips for the 56x56 stage-1 geometry.
+    ``gs`` groups per block: the w strip is refetched per (g-block, strip),
+    so gs=2 halves the w refetch traffic at 2x the xp block."""
     n, hi, wi, c = x.shape
     _, ho, wo, heads, k2, cw = w.shape
     g = c // cw
     hp, wp = hi + 2 * pad, wi + 2 * pad
-    assert ho % hs == 0
+    assert ho % hs == 0 and g % gs == 0
     xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)])
     xt = jnp.transpose(xp, (3, 1, 2, 0)).reshape(g, cw, hp, wp, n)
     wt = jnp.transpose(w[:, :, :, 0], (4, 3, 1, 2, 0))
     kern = functools.partial(_fwd_chwn_strip_kernel, kh=K, kw=K, dh=D, dw=D,
-                             gs=1, hs=hs, wo=wo)
+                             gs=gs, hs=hs, wo=wo)
     out_t = _call(
         kern,
-        grid=(cw, g, ho // hs),
+        grid=(cw, g // gs, ho // hs),
         in_specs=[
-            pl.BlockSpec((1, 1, hp, wp, n), lambda i, s, j: (s, i, 0, 0, 0)),
+            pl.BlockSpec((gs, 1, hp, wp, n),
+                         lambda i, s, j: (s, i, 0, 0, 0)),
             pl.BlockSpec((1, k2, hs, wo, n),
                          lambda i, s, j: (i, 0, j, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, hs, wo, n),
+        out_specs=pl.BlockSpec((gs, 1, hs, wo, n),
                                lambda i, s, j: (s, i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((g, cw, ho, wo, n), x.dtype),
     )(xt, wt)
@@ -564,6 +567,16 @@ def run_stage1(n, h, c, hs=8, dtype=jnp.bfloat16):
     print(f"[{h}x{h}x{c} n{n} hs{hs}] FWD shipped {t_ship*1e3:7.3f} ms | "
           f"chwn-strip {t_chwn*1e3:7.3f} ms | ratio {t_ship/t_chwn:5.2f}x",
           flush=True)
+    for gs in (2, 4):
+        if (c // 8) % gs:
+            continue
+        gotg = jax.jit(
+            functools.partial(fwd_chwn_strip, pad=pad, hs=hs, gs=gs))(x, w)
+        eg = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
+                                   - gotg.astype(jnp.float32))))
+        t_g = chain_time(lambda xx: fwd_chwn_strip(xx, w, pad, hs, gs), x)
+        print(f"[{h}x{h}x{c} n{n} hs{hs}] FWD strip gs{gs} {t_g*1e3:7.3f} ms"
+              f" (parity {eg:.1e}) | vs gs1 {t_chwn/t_g:5.2f}x", flush=True)
 
     def ship_pair(dy_):
         f = lambda xx, ww: agg(xx, ww, impl="auto")
