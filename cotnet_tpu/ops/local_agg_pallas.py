@@ -1011,7 +1011,7 @@ def _dxdw_chwn_kernel(xp_ref, wp_ref, dyp_ref, dx_ref, dw_ref, *, kh, kw,
 
 
 def chwn_strip_plan(x_shape, w_shape, itemsize, padding):
-    """Strip height ``hs`` for the CHWN H-strip FORWARD, or None.
+    """(hs, gs) for the CHWN H-strip FORWARD, or None.
 
     The fallback for shapes the whole-image CHWN plan excludes on VMEM —
     stage 1 (56x56), where the K2 weight block alone is ~8 MB.  Keeps the
@@ -1022,7 +1022,11 @@ def chwn_strip_plan(x_shape, w_shape, itemsize, padding):
     the fused dx+dw strip BACKWARD measured 0.72x (strip-duplication
     traffic + per-g grid overhead), so the backward stays on the XLA VJP
     (see _agg_bwd_rule).  K2 > 9 excluded: the K=7 taps (SAN/LR-Net
-    variants) blow Mosaic compile time (r2 finding) and are unmeasured."""
+    variants) blow Mosaic compile time (r2 finding) and are unmeasured.
+    ``gs`` groups per block: the w strip refetches once per (g-block,
+    strip), so gs=2 cuts that traffic in half — measured another 1.10x
+    (2.054 -> 1.866 ms; gs=4 ties gs=2, so the plan takes the smallest
+    winning gs that fits VMEM)."""
     if not CHWN_DISPATCH:
         return None
     n, hi, wi, c = x_shape
@@ -1036,44 +1040,51 @@ def chwn_strip_plan(x_shape, w_shape, itemsize, padding):
     if chwn_plan(x_shape, w_shape, itemsize, padding) is not None:
         return None  # whole-image CHWN dispatches first where it fits
     hp, wp = hi + 2 * padding[0], wi + 2 * padding[1]
+    g = c // cw
 
-    def fits(hs):
-        xb = _tiled_bytes((1, 1, hp, wp, n), itemsize)
+    def fits(hs, gs):
+        xb = gs * _tiled_bytes((1, 1, hp, wp, n), itemsize)
         wb = _tiled_bytes((1, k2, hs, wo, n), itemsize)
-        ob = _tiled_bytes((1, 1, hs, wo, n), itemsize)
+        ob = gs * _tiled_bytes((1, 1, hs, wo, n), itemsize)
         temps = (k2 + 2) * _tiled_bytes((1, 1, hs, wo, n), 4)
         # x2: Pallas double-buffers every in/out block
         return 2 * (xb + wb + ob) + temps <= _CHWN_BUDGET_BYTES
 
     for hs in (8, 7, 4, 2):
-        if ho % hs == 0 and fits(hs):
-            return hs
+        if ho % hs != 0:
+            continue
+        for gs in (2, 1):
+            if g % gs == 0 and fits(hs, gs):
+                return hs, gs
     return None
 
 
 def _fwd_chwn_strip_kernel(xp_ref, w_ref, s_ref, b_ref, out_ref, *, kh, kw,
-                           dh, dw, hs, wo):
-    """CHWN H-strip forward: per-(cw, g, strip) grid; the xp block is the
-    full padded image for ONE (g, cw) slice, w/out are H-strips.  H offsets
-    dynamic (program_id), W offsets static.  Optional affine (GN fold)."""
+                           dh, dw, hs, gs, wo):
+    """CHWN H-strip forward: per-(cw, g-block, strip) grid; the xp block is
+    the full padded image for ``gs`` (g, cw) slices, w/out are H-strips.
+    H offsets dynamic (program_id), W offsets static.  Optional affine
+    (GN fold)."""
     j = pl.program_id(2)
     out_dtype = out_ref.dtype
-    acc = None
-    for ikh in range(kh):
-        for ikw in range(kw):
-            k = ikh * kw + ikw
-            xs = xp_ref[0, 0, pl.dslice(j * hs + ikh * dh, hs),
-                        ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
-            wk = w_ref[0, k].astype(jnp.float32)
-            if s_ref is not None:
-                wk = wk * s_ref[0, k] + b_ref[0, k]
-            tap = xs * wk
-            acc = tap if acc is None else acc + tap
-    out_ref[0, 0] = acc.astype(out_dtype)
+    for gi in range(gs):
+        acc = None
+        for ikh in range(kh):
+            for ikw in range(kw):
+                k = ikh * kw + ikw
+                xs = xp_ref[gi, 0, pl.dslice(j * hs + ikh * dh, hs),
+                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
+                wk = w_ref[0, k].astype(jnp.float32)
+                if s_ref is not None:
+                    wk = wk * s_ref[0, k] + b_ref[0, k]
+                tap = xs * wk
+                acc = tap if acc is None else acc + tap
+        out_ref[gi, 0] = acc.astype(out_dtype)
 
 
-def _agg_fwd_chwn_strip(x, w, s, b, geo, padding, hs):
+def _agg_fwd_chwn_strip(x, w, s, b, geo, padding, plan):
     """Dispatch the CHWN H-strip forward (stage-1 shapes)."""
+    hs, gs = plan
     n, hi, wi, c = x.shape
     _, ho, wo, _, k2, cw = w.shape
     g = c // cw
@@ -1083,7 +1094,7 @@ def _agg_fwd_chwn_strip(x, w, s, b, geo, padding, hs):
     affine = s is not None
     ins = [xt, wt]
     in_specs = [
-        pl.BlockSpec((1, 1, hp, wp, n), lambda i, sp, j: (sp, i, 0, 0, 0)),
+        pl.BlockSpec((gs, 1, hp, wp, n), lambda i, sp, j: (sp, i, 0, 0, 0)),
         pl.BlockSpec((1, k2, hs, wo, n), lambda i, sp, j: (i, 0, j, 0, 0)),
     ]
     if affine:
@@ -1098,12 +1109,12 @@ def _agg_fwd_chwn_strip(x, w, s, b, geo, padding, hs):
         (lambda xr, wr, outr, **kw_: _fwd_chwn_strip_kernel(
             xr, wr, None, None, outr, **kw_)),
         kh=geo["kh"], kw=geo["kw"], dh=geo["dh"], dw=geo["dw"], hs=hs,
-        wo=wo)
+        gs=gs, wo=wo)
     out_t = pl.pallas_call(
         kern,
-        grid=(cw, g, ho // hs),
+        grid=(cw, g // gs, ho // hs),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, hs, wo, n),
+        out_specs=pl.BlockSpec((gs, 1, hs, wo, n),
                                lambda i, sp, j: (sp, i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((g, cw, ho, wo, n), x.dtype),
         interpret=_use_interpret(),

@@ -813,7 +813,7 @@ def test_chwn_strip_stage1_dispatch():
         xs = (n, h, h, c)
         ws = (n, h, h, 1, k * k, cw)
         sp = lap.chwn_strip_plan(xs, ws, 4, (1, 1))
-        assert sp is not None and h % sp == 0, sp
+        assert sp is not None and h % sp[0] == 0 and (c // cw) % sp[1] == 0, sp
         ks = jax.random.split(jax.random.PRNGKey(0), 5)
         x = jax.random.normal(ks[0], xs, jnp.float32)
         w = jax.random.normal(ks[1], ws, jnp.float32)
