@@ -544,6 +544,136 @@ def bwd_chwn_strip(x, w, dy, pad, hs=8):
     return dx, dw
 
 
+def _bwd_chwn_strip_g_kernel(xs_ref, ws_ref, dys_ref, dx_ref, dw_ref, *,
+                             kh, kw, dh, dw, hs, g, wo, wi, lh, lw):
+    """Stage-1 fused dx+dw, H-strips, g-reduction IN-KERNEL: grid (cw, nh)
+    only — unlike _bwd_chwn_strip_kernel's (cw, g, nh) grid, the w strip is
+    read ONCE per strip (not once per group: 8x less w traffic at stage 1)
+    and dw leaves complete (f32 SSA chain over g inside the block), so the
+    per-g f32 partial tensor (16x the final dw bytes at g=8) never exists.
+    Traffic model at 56x56x64 bs128 hs=4: ~350 MB total vs ~1.5 GB for the
+    per-g-grid form that measured 0.72x.  All inputs arrive as
+    pre-materialized overlapping strips (bytes x (hs+2)/hs); offsets static.
+    """
+    out_dtype = dx_ref.dtype
+    for gi in range(g):
+        acc = None
+        for ikh in range(kh):
+            for ikw in range(kw):
+                k = ikh * kw + ikw
+                sh = (kh - 1) * dh - ikh * dh
+                sw = (kw - 1) * dw - ikw * dw
+                dys = dys_ref[0, gi, 0, sh:sh + hs,
+                              sw:sw + wi, :].astype(jnp.float32)
+                wk = ws_ref[0, 0, k, sh:sh + hs,
+                            sw:sw + wi, :].astype(jnp.float32)
+                tap = dys * wk
+                acc = tap if acc is None else acc + tap
+        dx_ref[gi, 0] = acc.astype(out_dtype)
+    dw_dtype = dw_ref.dtype
+    for ikh in range(kh):
+        for ikw in range(kw):
+            k = ikh * kw + ikw
+            red = None
+            for gi in range(g):
+                xs = xs_ref[0, gi, 0, ikh * dh:ikh * dh + hs,
+                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
+                dys = dys_ref[0, gi, 0, lh:lh + hs,
+                              lw:lw + wo, :].astype(jnp.float32)
+                t = xs * dys
+                red = t if red is None else red + t
+            dw_ref[0, k] = red.astype(dw_dtype)
+
+
+def bwd_chwn_strip_g(x, w, dy, pad, hs=4):
+    """Stage-1 fused dx+dw, H-strips with the g loop inside the kernel
+    (grid (cw, nh)); dw complete per strip — no partials, no w refetch."""
+    n, hi, wi, c = x.shape
+    _, ho, wo, heads, k2, cw = w.shape
+    g = c // cw
+    lh = (K - 1) * D - pad
+    lw = lh
+    assert hi % hs == 0 and pad == lh, (hi, hs, pad, lh)
+    nh = hi // hs
+    hw = hs + 2 * lh
+    wp_ = wi + 2 * pad
+    we = wo + 2 * lw
+    xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)])
+    xt = jnp.transpose(xp, (3, 1, 2, 0)).reshape(g, cw, hi + 2 * pad,
+                                                 wp_, n)
+    dyp = jnp.pad(dy, [(0, 0), (lh, lh), (lw, lw), (0, 0)])
+    dyt = jnp.transpose(dyp, (3, 1, 2, 0)).reshape(g, cw, ho + 2 * lh,
+                                                   we, n)
+    wpad = jnp.pad(w[:, :, :, 0], [(0, 0), (lh, lh), (lw, lw), (0, 0),
+                                   (0, 0)])
+    wt = jnp.transpose(wpad, (4, 3, 1, 2, 0))
+    # -> [NH, G, Cw, hw, Wp, N] / [NH, Cw, K2, hw, We, N]
+    xs_t = _h_strips(xt, 2, hs, pad, nh)
+    dys_t = _h_strips(dyt, 2, hs, lh, nh)
+    ws_t = _h_strips(wt, 2, hs, lh, nh)
+    kern = functools.partial(_bwd_chwn_strip_g_kernel, kh=K, kw=K, dh=D,
+                             dw=D, hs=hs, g=g, wo=wo, wi=wi, lh=lh, lw=lw)
+    dx_t, dw_t = _call(
+        kern,
+        grid=(cw, nh),
+        in_specs=[
+            pl.BlockSpec((1, g, 1, hw, wp_, n),
+                         lambda i, j: (j, 0, i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, k2, hw, we, n),
+                         lambda i, j: (j, i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, g, 1, hw, we, n),
+                         lambda i, j: (j, 0, i, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, 1, hs, wi, n), lambda i, j: (0, i, j, 0, 0)),
+            pl.BlockSpec((1, k2, hs, wo, n), lambda i, j: (i, 0, j, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, cw, hi, wi, n), x.dtype),
+            jax.ShapeDtypeStruct((cw, k2, ho, wo, n), w.dtype),
+        ],
+    )(xs_t, ws_t, dys_t)
+    dx = jnp.transpose(dx_t.reshape(c, hi, wi, n), (3, 1, 2, 0))
+    dw = jnp.transpose(dw_t, (4, 2, 3, 1, 0))[:, :, :, None]
+    return dx, dw
+
+
+def run_stage1_bwd_g(n, h, c, dtype=jnp.bfloat16, hss=(2, 4, 7)):
+    """Shootout: shipped stage-1 backward (XLA gather-VJP) vs the in-kernel
+    g-reduction strip form at several strip heights."""
+    cw = c // 8
+    pad = K // 2
+    kx, kw_, kd = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(kx, (n, h, h, c), dtype)
+    w = jax.random.normal(kw_, (n, h, h, 1, K * K, cw), dtype)
+    dy = jax.random.normal(kd, (n, h, h, c), dtype)
+    agg = functools.partial(local_aggregate, kernel_size=K, stride=1,
+                            padding=pad, dilation=D)
+
+    def ship_pair(dy_):
+        f = lambda xx, ww: agg(xx, ww, impl="auto")
+        _, vjp = jax.vjp(f, x, w)
+        return vjp(dy_)
+
+    dxr, dwr = jax.jit(ship_pair)(dy)
+    t_ship = chain_time(ship_pair, dy)
+    print(f"[{h}x{h}x{c} n{n}] BWD shipped {t_ship*1e3:7.3f} ms",
+          flush=True)
+    for hs in hss:
+        if h % hs:
+            continue
+        dxg, dwg = jax.jit(
+            functools.partial(bwd_chwn_strip_g, pad=pad, hs=hs))(x, w, dy)
+        e_dx = float(jnp.max(jnp.abs(dxr.astype(jnp.float32)
+                                     - dxg.astype(jnp.float32))))
+        e_dw = float(jnp.max(jnp.abs(dwr.astype(jnp.float32)
+                                     - dwg.astype(jnp.float32))))
+        t_g = chain_time(lambda dd: bwd_chwn_strip_g(x, w, dd, pad, hs), dy)
+        print(f"[{h}x{h}x{c} n{n} hs{hs}] BWD strip-g {t_g*1e3:7.3f} ms "
+              f"(parity dx {e_dx:.2e} dw {e_dw:.2e}) | vs shipped "
+              f"{t_ship/t_g:5.2f}x", flush=True)
+
+
 def run_stage1(n, h, c, hs=8, dtype=jnp.bfloat16):
     """Stage-1 shootout: XLA incumbent (what ships at 56x56) vs the CHWN
     H-strip forms."""
@@ -650,6 +780,14 @@ if __name__ == "__main__":
             n, h, c = geo1.get(s, (128, 56, 64))
             run_stage1(n, h, c, hs=int(s) if s.isdigit() else 4)
             continue
+        if mode == "s1bwdg":
+            # in-kernel-g-reduction strip backward: remaining args are the
+            # strip heights to sweep (one shipped-pair timing, one sweep)
+            geo1 = {"tiny": (8, 8, 16)}
+            n, h, c = geo1.get(s, (128, 56, 64))
+            hss = tuple(int(a) for a in stages if a.isdigit()) or (2, 4, 7)
+            run_stage1_bwd_g(n, h, c, hss=hss)
+            break
         n, h, c = geo[s]
         if mode == "trans":
             run_transpose(n, h, c)
