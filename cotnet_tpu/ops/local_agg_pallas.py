@@ -308,6 +308,10 @@ CHWN_ANY_N = _os.environ.get("COTNET_CHWN_ANY_N", "0") == "1"
 # chwn_bench.py fwd_chwn_packed) wins only 10x10 fwd (1.22x) and loses
 # its bwd (0.83x) — a wash per block-pass, so bs64 stays NHWC.
 CHWN_MIN_MAP = int(_os.environ.get("COTNET_CHWN_MIN_MAP", "100"))
+# the stage-1 CHWN H-strip BACKWARD (in-kernel g reduction, 1.74x over
+# the XLA gather-VJP isolated — see chwn_strip_bwd_plan); separate gate
+# from the forward strips so the two can be A/B'd independently at HEAD
+CHWN_STRIP_BWD = _os.environ.get("COTNET_CHWN_STRIP_BWD", "1") == "1"
 _WLOOP_GROUP = 2
 _WLOOP_BUDGET_BYTES = 16 * 1024 * 1024
 
@@ -1018,10 +1022,10 @@ def chwn_strip_plan(x_shape, w_shape, itemsize, padding):
     per-(cw, g) x block fully resident (0.9 MB at 56x56x128n) and strips
     w/out on H with dynamic offsets.  Measured (r5, tools/chwn_bench.py s1,
     chained A/B bf16 bs128 56x56x64): fwd 2.78-2.90 -> 2.09-2.26 ms =
-    1.25-1.33x over the shipped XLA formulation across hs in {4, 8, 14};
-    the fused dx+dw strip BACKWARD measured 0.72x (strip-duplication
-    traffic + per-g grid overhead), so the backward stays on the XLA VJP
-    (see _agg_bwd_rule).  K2 > 9 excluded: the K=7 taps (SAN/LR-Net
+    1.25-1.33x over the shipped XLA formulation across hs in {4, 8, 14}.
+    The BACKWARD has its own plan (chwn_strip_bwd_plan): the in-kernel-g
+    strip form measured 1.74x over the XLA VJP (the per-g-grid first cut
+    had measured 0.72x).  K2 > 9 excluded: the K=7 taps (SAN/LR-Net
     variants) blow Mosaic compile time (r2 finding) and are unmeasured.
     ``gs`` groups per block: the w strip refetches once per (g-block,
     strip), so gs=2 cuts that traffic in half — measured another 1.10x
@@ -1125,6 +1129,167 @@ def _agg_fwd_chwn_strip(x, w, s, b, geo, padding, plan):
             transcendentals=0),
     )(*ins)
     return _from_chwn(out_t)
+
+
+def chwn_strip_bwd_plan(x_shape, w_shape, itemsize, padding):
+    """``hs`` for the CHWN H-strip fused dx+dw BACKWARD, or None.
+
+    Same eligibility as chwn_strip_plan plus the strip-gather geometry
+    (ho == hi, wo == wi, so the dy/w halo equals the x pad and every
+    shifted slice is in-bounds).  The r5 first-cut strip backward ran a
+    per-(cw, g, strip) grid and measured 0.72x: the w strip was refetched
+    once PER GROUP (8x at stage 1) and dw left the kernel as per-g f32
+    partials (~16x the final dw bytes).  This plan's kernel loops g
+    INSIDE the block instead — the w strip is read once per strip and dw
+    leaves complete (f32 SSA chain over g), so the partial tensor never
+    exists.  Measured (tools/chwn_bench.py s1bwdg, chained A/B bf16
+    bs128 56x56x64 v5e): 4.08 -> 2.34 ms = **1.74x** over the shipped
+    XLA gather-VJP at hs=4 (hs=7 1.66x, hs=2 1.29x; hs=8 blows the
+    2x-double-buffered VMEM model).  Mirrors the role of the reference's
+    input+weight-grad CUDA pair (aggregation_zeropad.py:113-235)."""
+    if not (CHWN_DISPATCH and CHWN_STRIP_BWD):
+        return None
+    n, hi, wi, c = x_shape
+    _, ho, wo, heads, k2, cw = w_shape
+    if heads != 1 or c % cw or k2 > 9:
+        return None
+    if ho != hi or wo != wi:
+        return None
+    if ho * wo < CHWN_MIN_MAP and not (CHWN_ANY_N and _use_interpret()):
+        return None
+    if n % 128 != 0 and not (CHWN_ANY_N and _use_interpret()):
+        return None
+    if chwn_plan(x_shape, w_shape, itemsize, padding) is not None:
+        return None  # whole-image CHWN backward dispatches first
+    g = c // cw
+    wp = wi + 2 * padding[1]
+    we = wo + 2 * padding[1]
+
+    def fits(hs):
+        hw = hs + 2 * padding[0]
+        xb = _tiled_bytes((1, g, 1, hw, wp, n), itemsize)
+        wb = _tiled_bytes((1, 1, k2, hw, we, n), itemsize)
+        db = _tiled_bytes((1, g, 1, hw, we, n), itemsize)
+        dxb = _tiled_bytes((g, 1, hs, wi, n), itemsize)
+        dwb = _tiled_bytes((1, k2, hs, wo, n), itemsize)
+        temps = 6 * _tiled_bytes((1, 1, hw, we, n), 4)
+        # x2: Pallas double-buffers every in/out block
+        return 2 * (xb + wb + db + dxb + dwb) + temps <= _CHWN_BUDGET_BYTES
+
+    for hs in (4, 7, 2):        # measured preference order (see above)
+        if hi % hs == 0 and fits(hs):
+            return hs
+    return None
+
+
+def _h_strips(t, axis, hs, halo, nh):
+    """Stack ``nh`` overlapping H-strips ``[j*hs : j*hs + hs + 2*halo]``
+    of ``t``'s ``axis`` along a new leading dim.  Overlapping (halo)
+    reads are not expressible in BlockSpec index maps, so the strips are
+    pre-materialized by XLA (bytes x (hs+2*halo)/hs, charged to the op
+    in every measurement) and every in-kernel offset stays static."""
+    sl = [slice(None)] * t.ndim
+    parts = []
+    for j in range(nh):
+        sl[axis] = slice(j * hs, j * hs + hs + 2 * halo)
+        parts.append(t[tuple(sl)])
+    return jnp.stack(parts, axis=0)
+
+
+def _bwd_chwn_strip_g_kernel(xs_ref, ws_ref, dys_ref, dx_ref, dw_ref, *,
+                             kh, kw, dh, dw, hs, g, wo, wi, lh, lw):
+    """Fused dx+dw, CHWN H-strips, g-reduction IN-KERNEL: grid (cw, nh).
+
+    dx is the gather form (static shifted slices of the pre-padded dy/w
+    strips); dw multiplies shifted x strips with the dy strip and reduces
+    over g inside the block, so dw leaves complete and the w strip is
+    read once per strip (not once per group).  Block batch dims stay 1
+    per CLAUDE.md's Mosaic rule; all offsets static (H handled by the
+    pre-materialized strip stack)."""
+    out_dtype = dx_ref.dtype
+    for gi in range(g):
+        acc = None
+        for ikh in range(kh):
+            for ikw in range(kw):
+                k = ikh * kw + ikw
+                sh = (kh - 1) * dh - ikh * dh
+                sw = (kw - 1) * dw - ikw * dw
+                dys = dys_ref[0, gi, 0, sh:sh + hs,
+                              sw:sw + wi, :].astype(jnp.float32)
+                wk = ws_ref[0, 0, k, sh:sh + hs,
+                            sw:sw + wi, :].astype(jnp.float32)
+                tap = dys * wk
+                acc = tap if acc is None else acc + tap
+        dx_ref[gi, 0] = acc.astype(out_dtype)
+    dw_dtype = dw_ref.dtype
+    for ikh in range(kh):
+        for ikw in range(kw):
+            k = ikh * kw + ikw
+            red = None
+            for gi in range(g):
+                xs = xs_ref[0, gi, 0, ikh * dh:ikh * dh + hs,
+                            ikw * dw:ikw * dw + wo, :].astype(jnp.float32)
+                dys = dys_ref[0, gi, 0, lh:lh + hs,
+                              lw:lw + wo, :].astype(jnp.float32)
+                t = xs * dys
+                red = t if red is None else red + t
+            dw_ref[0, k] = red.astype(dw_dtype)
+
+
+def _agg_bwd_chwn_strip(x, w, dy, geo, padding, hs):
+    """Dispatch the CHWN H-strip fused dx+dw backward (stage-1 shapes).
+
+    Inputs arrive as pre-materialized overlapping strip stacks (see
+    _h_strips) so the kernel's H offsets are static; boundary transposes
+    ride XLA's tiled transpose as in the other CHWN dispatches."""
+    n, hi, wi, c = x.shape
+    _, ho, wo, _, k2, cw = w.shape
+    g = c // cw
+    lh = (geo["kh"] - 1) * geo["dh"] - geo["ph"]
+    lw = (geo["kw"] - 1) * geo["dw"] - geo["pw"]
+    nh = hi // hs
+    hw_ = hs + 2 * lh
+    wp_ = wi + 2 * geo["pw"]
+    we = wo + 2 * lw
+    xt = _to_chwn(x, g, cw, geo["ph"], geo["pw"])
+    dyt = _to_chwn(dy, g, cw, lh, lw)
+    wt = _w_to_chwn(w, lh, lw)
+    xs_t = _h_strips(xt, 2, hs, lh, nh)
+    dys_t = _h_strips(dyt, 2, hs, lh, nh)
+    ws_t = _h_strips(wt, 2, hs, lh, nh)
+    kern = functools.partial(_bwd_chwn_strip_g_kernel, kh=geo["kh"],
+                             kw=geo["kw"], dh=geo["dh"], dw=geo["dw"],
+                             hs=hs, g=g, wo=wo, wi=wi, lh=lh, lw=lw)
+    dx_t, dw_t = pl.pallas_call(
+        kern,
+        grid=(cw, nh),
+        in_specs=[
+            pl.BlockSpec((1, g, 1, hw_, wp_, n),
+                         lambda i, j: (j, 0, i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, k2, hw_, we, n),
+                         lambda i, j: (j, i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, g, 1, hw_, we, n),
+                         lambda i, j: (j, 0, i, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, 1, hs, wi, n), lambda i, j: (0, i, j, 0, 0)),
+            pl.BlockSpec((1, k2, hs, wo, n), lambda i, j: (i, 0, j, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, cw, hi, wi, n), x.dtype),
+            jax.ShapeDtypeStruct((cw, k2, ho, wo, n), w.dtype),
+        ],
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * ho * wo * geo["kh"] * geo["kw"] * c,
+            bytes_accessed=(xs_t.size + ws_t.size + dys_t.size
+                            + g * cw * hi * wi * n
+                            + cw * k2 * ho * wo * n) * x.dtype.itemsize,
+            transcendentals=0),
+    )(xs_t, ws_t, dys_t)
+    dx = _from_chwn(dx_t)
+    dwk = jnp.transpose(dw_t, (4, 2, 3, 1, 0))[:, :, :, None]
+    return dx, dwk
 
 
 def _to_chwn(x, g, cw, pad_h=0, pad_w=0):
@@ -1394,10 +1559,14 @@ def _agg_bwd_rule(kernel_size, dilation, padding, res, dy):
     if (plan is None and
             chwn_strip_plan(x.shape, w.shape, x.dtype.itemsize,
                             padding) is not None):
-        # the CHWN H-strip plan covers the FORWARD only: its fused dx+dw
-        # strip form measured 0.72x vs the XLA VJP (r5, chwn_bench s1 —
-        # strip-duplication traffic + per-g grid overhead), so both grads
-        # ride the gather-VJP XLA formulation (the tuned stage-1 training
+        bs = chwn_strip_bwd_plan(x.shape, w.shape, x.dtype.itemsize,
+                                 padding)
+        if bs is not None:
+            # in-kernel-g-reduction strip backward: 1.74x over the XLA
+            # gather-VJP at the stage-1 shape (see chwn_strip_bwd_plan)
+            return _agg_bwd_chwn_strip(x, w, dy, geo, padding, bs)
+        # strip-plan shapes the bwd plan excludes (VMEM/geometry) ride
+        # the gather-VJP XLA formulation (the tuned stage-1 training
         # backward this shape used before strips shipped)
         from cotnet_tpu.ops import local_agg as _la
 

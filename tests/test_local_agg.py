@@ -712,6 +712,55 @@ def test_chwn_bf16_production_shape():
         lap.CHWN_DISPATCH = old
 
 
+def test_chwn_strip_bwd_bf16_stage1_geometry():
+    """The in-kernel-g strip backward (chwn_strip_bwd_plan, the stage-1
+    1.74x) in bf16 at the production stage-1 geometry — H=56, C=64, cw=8
+    (g=8), hs=4 — vs the f32 XLA formulation.  N reduced to 8 via the
+    ANY_N interpret escape so CI stays cheap; H/C/cw/hs (the strip/halo
+    geometry, the g loop, the f32 SSA dw chain) are the real ones.  The
+    on-chip A/B saw dx max-abs 1.25e-1 at unit-normal scale (bf16
+    rounding of the 9-tap sum; dw exact vs the gather-VJP) — measured
+    (interpret mode, this exact setup): dx 3.2e-3 / dw 3.7e-3 max-rel vs
+    max|ref|; bounds pinned at ~2x so any CHWN strip-bwd bf16 drift
+    (e.g. a truncating accumulation sneaking in) fails here."""
+    import cotnet_tpu.ops.local_agg_pallas as lap
+
+    old = (lap.CHWN_DISPATCH, lap.CHWN_ANY_N, lap.chwn_plan,
+           lap.pallas_plan)
+    try:
+        lap.CHWN_DISPATCH = True
+        lap.CHWN_ANY_N = True
+        lap.chwn_plan = lambda *a, **k: None      # force whole-image off
+        lap.pallas_plan = lambda *a, **k: None    # force NHWC plans off
+        n, h, c, cw, k = 8, 56, 64, 8, 3
+        xs, ws = (n, h, h, c), (n, h, h, 1, k * k, cw)
+        assert lap.chwn_strip_bwd_plan(xs, ws, 2, (1, 1)) == 4
+
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        x = jax.random.normal(ks[0], xs, jnp.float32).astype(jnp.bfloat16)
+        w = jax.random.normal(ks[1], ws, jnp.float32).astype(jnp.bfloat16)
+        dy = jax.random.normal(ks[2], xs, jnp.float32)
+
+        def run(impl, dtype):
+            def f(x_, w_):
+                y = local_aggregate(x_, w_, kernel_size=k, padding=1,
+                                    impl=impl)
+                return jnp.vdot(y.astype(jnp.float32), dy)
+
+            g = jax.grad(f, (0, 1))(x.astype(dtype), w.astype(dtype))
+            return g[0].astype(jnp.float32), g[1].astype(jnp.float32)
+
+        got = run("pallas", jnp.bfloat16)
+        ref = run("xla", jnp.float32)
+        for name, a, b, bound in zip(("dx", "dw"), got, ref,
+                                     (7e-3, 8e-3)):
+            rel = float(jnp.abs(a - b).max() / jnp.abs(b).max())
+            assert rel <= bound, (name, rel, bound)
+    finally:
+        (lap.CHWN_DISPATCH, lap.CHWN_ANY_N, lap.chwn_plan,
+         lap.pallas_plan) = old
+
+
 def test_chwn_resident_weights():
     """agg_core_pallas_wt (COTNET_CHWN_W): CHWN-resident weight input, dw
     returned in the same layout — must match the NHWC formulation for fwd
@@ -796,10 +845,12 @@ def test_chwn_resident_weights():
 
 
 def test_chwn_strip_stage1_dispatch():
-    """The CHWN H-strip forward (the stage-1 win: fwd 1.28x on chip, bwd
-    stays on the XLA VJP by measurement): parity vs the XLA formulation
-    for fwd, grads, and the affine (GN-fold) form, exercised by forcing
-    the whole-image plans off so the strip plan dispatches."""
+    """The CHWN H-strip forms (the stage-1 wins: fwd 1.28x on chip, the
+    in-kernel-g strip backward 1.74x over the XLA VJP): parity vs the
+    XLA formulation for fwd, grads, and the affine (GN-fold) form,
+    exercised by forcing the whole-image plans off so the strip plans
+    dispatch (both the forward's and the backward's plan are asserted
+    non-None, so the grad check really covers _agg_bwd_chwn_strip)."""
     import cotnet_tpu.ops.local_agg_pallas as lap
 
     old = (lap.CHWN_DISPATCH, lap.CHWN_ANY_N, lap.chwn_plan,
@@ -814,6 +865,8 @@ def test_chwn_strip_stage1_dispatch():
         ws = (n, h, h, 1, k * k, cw)
         sp = lap.chwn_strip_plan(xs, ws, 4, (1, 1))
         assert sp is not None and h % sp[0] == 0 and (c // cw) % sp[1] == 0, sp
+        bs = lap.chwn_strip_bwd_plan(xs, ws, 4, (1, 1))
+        assert bs is not None and h % bs == 0, bs
         ks = jax.random.split(jax.random.PRNGKey(0), 5)
         x = jax.random.normal(ks[0], xs, jnp.float32)
         w = jax.random.normal(ks[1], ws, jnp.float32)
