@@ -1145,8 +1145,16 @@ def chwn_strip_bwd_plan(x_shape, w_shape, itemsize, padding):
     exists.  Measured (tools/chwn_bench.py s1bwdg, chained A/B bf16
     bs128 56x56x64 v5e): 4.08 -> 2.34 ms = **1.74x** over the shipped
     XLA gather-VJP at hs=4 (hs=7 1.66x, hs=2 1.29x; hs=8 blows the
-    2x-double-buffered VMEM model).  Mirrors the role of the reference's
-    input+weight-grad CUDA pair (aggregation_zeropad.py:113-235)."""
+    2x-double-buffered VMEM model).  The same economics apply wherever
+    the WHOLE-IMAGE CHWN backward must split G to fit VMEM (gs_bwd < g:
+    w refetched G/gs times, dw summed from per-split partials outside) —
+    at 28x28x128 (the only in-model G-split shape, gs_bwd=4) the strip
+    form measured 1.941 -> 1.579 ms = **1.23x** (hs=4; hs=7 1.20x,
+    hs=14 1.03x), so this plan also claims those shapes; whole-image
+    keeps full-g shapes (gs_bwd == g: w read once, dw complete — strips
+    could only add halo bytes there).  Mirrors the role of the
+    reference's input+weight-grad CUDA pair
+    (aggregation_zeropad.py:113-235)."""
     if not (CHWN_DISPATCH and CHWN_STRIP_BWD):
         return None
     n, hi, wi, c = x_shape
@@ -1159,9 +1167,12 @@ def chwn_strip_bwd_plan(x_shape, w_shape, itemsize, padding):
         return None
     if n % 128 != 0 and not (CHWN_ANY_N and _use_interpret()):
         return None
-    if chwn_plan(x_shape, w_shape, itemsize, padding) is not None:
-        return None  # whole-image CHWN backward dispatches first
     g = c // cw
+    cp = chwn_plan(x_shape, w_shape, itemsize, padding)
+    if cp is not None and cp[1] >= g:
+        # whole-image CHWN backward keeps full g in-kernel (w read once,
+        # dw complete) — strips could only add halo bytes there
+        return None
     wp = wi + 2 * padding[1]
     we = wo + 2 * padding[1]
 
@@ -1554,6 +1565,14 @@ def _agg_bwd_rule(kernel_size, dilation, padding, res, dy):
     ph, pw_ = geo["ph"], geo["pw"]
     cp = chwn_plan(x.shape, w.shape, x.dtype.itemsize, padding)
     if cp is not None:
+        bs = chwn_strip_bwd_plan(x.shape, w.shape, x.dtype.itemsize,
+                                 padding)
+        if bs is not None:
+            # non-None here only when the whole-image backward would
+            # split G (gs_bwd < g) — the strip form reads w once per
+            # strip and emits dw complete, 1.23x at the 28x28x128
+            # G-split shape (see chwn_strip_bwd_plan)
+            return _agg_bwd_chwn_strip(x, w, dy, geo, padding, bs)
         return _agg_bwd_chwn(x, w, dy, geo, padding, cp[1])
     plan = pallas_plan(x.shape, w.shape, x.dtype.itemsize, padding)
     if (plan is None and

@@ -900,3 +900,48 @@ def test_chwn_strip_stage1_dispatch():
     finally:
         (lap.CHWN_DISPATCH, lap.CHWN_ANY_N, lap.chwn_plan,
          lap.pallas_plan) = old
+
+def test_chwn_strip_bwd_gsplit_dispatch():
+    """The strip backward also claims shapes where the WHOLE-IMAGE CHWN
+    backward would split G (gs_bwd < g) — in-model that is 28x28x128
+    (gs_bwd=4: w refetched twice, dw summed from partials), where the
+    strip form measured 1.23x on chip.  Force the G-split scenario by
+    pinning chwn_plan to (g, g//2) on a toy shape: chwn_strip_bwd_plan
+    must claim it, _agg_bwd_rule must route grads through
+    _agg_bwd_chwn_strip, and the grads must match the XLA formulation.
+    With full-g whole-image (g, g) the strip plan must decline."""
+    import cotnet_tpu.ops.local_agg_pallas as lap
+
+    old = (lap.CHWN_DISPATCH, lap.CHWN_ANY_N, lap.chwn_plan,
+           lap.pallas_plan)
+    try:
+        lap.CHWN_DISPATCH = True
+        lap.CHWN_ANY_N = True
+        n, h, c, cw, k = 4, 8, 16, 2, 3
+        g = c // cw
+        xs = (n, h, h, c)
+        ws = (n, h, h, 1, k * k, cw)
+        lap.pallas_plan = lambda *a, **k_: None   # force NHWC plans off
+        lap.chwn_plan = lambda *a, **k_: (g, g)   # full-g whole-image
+        assert lap.chwn_strip_bwd_plan(xs, ws, 4, (1, 1)) is None
+        lap.chwn_plan = lambda *a, **k_: (g, g // 2)  # G-split backward
+        bs = lap.chwn_strip_bwd_plan(xs, ws, 4, (1, 1))
+        assert bs is not None and h % bs == 0, bs
+
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        x = jax.random.normal(ks[0], xs, jnp.float32)
+        w = jax.random.normal(ks[1], ws, jnp.float32)
+        dy = jax.random.normal(ks[2], xs, jnp.float32)
+
+        def f(impl):
+            return lambda x_, w_: jnp.vdot(local_aggregate(
+                x_, w_, kernel_size=k, padding=1, impl=impl), dy)
+
+        ga = jax.grad(f("xla"), (0, 1))(x, w)
+        gb = jax.grad(f("pallas"), (0, 1))(x, w)
+        for name, a, b in zip("xw", ga, gb):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-5, err_msg=name)
+    finally:
+        (lap.CHWN_DISPATCH, lap.CHWN_ANY_N, lap.chwn_plan,
+         lap.pallas_plan) = old
